@@ -1,0 +1,83 @@
+"""Cleaning operators: conjunctive range filters and data-dependent
+IQR outlier removal.
+
+Re-expresses the reference's cleaning stage
+(`/root/reference/src/data_processing/spark_processor.py:104-140`):
+F1 — a chain of range predicates (`:110-118`); F2 — two-phase IQR
+outlier removal: aggregate quartiles, compute scalar bounds on the
+driver, filter by them (`:120-133`).
+
+Spark-first design
+------------------
+- F1 is built as ONE conjunctive predicate, not 8 chained
+  ``.filter`` calls: Catalyst would collapse the chain anyway, but
+  a single predicate keeps intent visible and pushes down to the
+  parquet scan as row-group min/max pruning (check ``PushedFilters``
+  in ``.explain``).
+- F2 keeps the reference's two-job shape — an aggregate job for the
+  quartiles, then a lazily-extended bounded filter — which is the
+  idiomatic Spark pattern for data-dependent scalar predicates. At
+  100 TB the quartile job reads only the one column (column
+  pruning) and ``exact=False`` switches to ``percentile_approx``,
+  which aggregates a bounded-size sketch instead of sorting.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (column, low, high, low_inclusive, high_inclusive)
+RangeRule = tuple[str, float | None, float | None, bool, bool]
+
+
+def range_predicate(rules: list[RangeRule]) -> Column:
+    """Fold range rules into one conjunctive Column predicate."""
+    terms: list[Column] = []
+    for col_name, low, high, low_incl, high_incl in rules:
+        col = F.col(col_name)
+        if low is not None:
+            terms.append(col >= F.lit(low) if low_incl else col > F.lit(low))
+        if high is not None:
+            terms.append(col <= F.lit(high) if high_incl else col < F.lit(high))
+    if not terms:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, terms)
+
+
+def range_filter(df: DataFrame, rules: list[RangeRule]) -> DataFrame:
+    """F1: keep rows satisfying every range rule
+    (reference `spark_processor.py:110-118`)."""
+    return df.filter(range_predicate(rules))
+
+
+def iqr_bounds(
+    df: DataFrame, column: str, k: float = 1.5, exact: bool = True
+) -> tuple[float, float]:
+    """Compute Tukey-fence bounds ``[q1 - k*IQR, q3 + k*IQR]``.
+
+    One aggregate job over a single column. ``exact=True`` uses the
+    sort-based exact percentile for oracle parity (reference's
+    pandas path, `spark_processor.py:86-87`); ``exact=False`` uses
+    the sketch-based ``percentile_approx`` the reference's Spark
+    path uses (`:121-124`) — the right choice at 100 TB.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    row = df.select(
+        F.expr(f"{fn}({column}, 0.25)").alias("q1"),
+        F.expr(f"{fn}({column}, 0.75)").alias("q3"),
+    ).first()
+    q1, q3 = float(row["q1"]), float(row["q3"])
+    iqr = q3 - q1
+    return q1 - k * iqr, q3 + k * iqr
+
+
+def iqr_filter(
+    df: DataFrame, column: str, k: float = 1.5, exact: bool = True
+) -> DataFrame:
+    """F2: drop rows where ``column`` lies outside the Tukey fences
+    (reference `spark_processor.py:120-133`; bounds inclusive)."""
+    low, high = iqr_bounds(df, column, k=k, exact=exact)
+    return df.filter(F.col(column).between(F.lit(low), F.lit(high)))

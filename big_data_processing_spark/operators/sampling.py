@@ -1,0 +1,29 @@
+"""Sampling operators.
+
+Re-expresses SA1/SA2 (`/root/reference/src/main.py:149-153,166-169`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fraction_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """SA1: seeded Bernoulli sample (reference `main.py:149-153`).
+    Per-partition, no shuffle — safe at any scale."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def fixed_size_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """SA2: exact-n random sample (reference capped pandas
+    ``sample(n=1000)``, `main.py:166-169`).
+
+    Spark has no native exact-n sample; ``orderBy(rand(seed)).
+    limit(n)`` plans as TakeOrderedAndProject — a per-partition
+    top-n plus a driver merge of n rows per partition, not a full
+    sort. Determinism caveat (SURVEY.md §7.3): ``rand(seed)`` is
+    seeded per-partition, so results are stable only for a fixed
+    partitioning.
+    """
+    return df.orderBy(F.rand(seed)).limit(n)

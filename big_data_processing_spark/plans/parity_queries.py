@@ -1,0 +1,459 @@
+"""Reference-parity queries (SURVEY.md §2) over the testdata corpus.
+
+The ``lineitem`` table plays the reference's taxi-trip table
+(FIXTURES.md §2 mapping): ``l_extendedprice`` → fare-like,
+``l_quantity`` → distance-like, ``l_discount`` → tip-like,
+``l_returnflag`` → vendor-like key, ``l_linestatus`` →
+payment-type-like key.
+
+Each query cites the reference operator it re-expresses
+(file:line under /root/reference/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.operators.aggregates import (
+    column_stats,
+    grouped_stats,
+    summary_rollup,
+)
+from big_data_processing_spark.operators.cleaning import iqr_filter, range_filter
+from big_data_processing_spark.operators.enrichment import (
+    bucketize,
+    guarded_ratio,
+    sink_projection,
+)
+from big_data_processing_spark.operators.sampling import fraction_sample
+from big_data_processing_spark.operators.sorting import top_k
+from big_data_processing_spark.plans.registry import register
+from big_data_processing_spark.sources.catalog import load_table
+from big_data_processing_spark.validation import quality_metrics
+
+# ---------------------------------------------------------------------------
+# Shared pipeline pieces (the reference's clean → enrich flow,
+# spark_processor.py:104-198, instantiated on lineitem).
+# ---------------------------------------------------------------------------
+
+# F1 rules: conjunctive ranges (spark_processor.py:110-118 shape).
+CLEAN_RULES = [
+    ("l_extendedprice", 0.0, 100000.0, False, False),  # 0 < price < 100000
+    ("l_quantity", 0.0, 50.0, False, False),  # 0 < qty < 50
+    ("l_discount", 0.0, 0.08, True, True),  # 0 <= disc <= 0.08
+]
+CLEAN_WHERE = (
+    "l_extendedprice > 0 AND l_extendedprice < 100000 "
+    "AND l_quantity > 0 AND l_quantity < 50 "
+    "AND l_discount >= 0 AND l_discount <= 0.08"
+)
+
+# P1 buckets: left-closed when-ladder (spark_processor.py:185-189 shape).
+QTY_BUCKETS = [("short", 10.0), ("medium", 25.0), ("long", 40.0)]
+QTY_DEFAULT = "very_long"
+QTY_BUCKET_CASE = (
+    "CASE WHEN l_quantity < 10 THEN 'short' "
+    "WHEN l_quantity < 25 THEN 'medium' "
+    "WHEN l_quantity < 40 THEN 'long' "
+    "ELSE 'very_long' END"
+)
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def clean(df: DataFrame) -> DataFrame:
+    return range_filter(df, CLEAN_RULES)
+
+
+def enrich(df: DataFrame) -> DataFrame:
+    """P1 + P2 + P3 on the cleaned table
+    (spark_processor.py:180-198 shape)."""
+    df = bucketize(df, "l_quantity", QTY_BUCKETS, QTY_DEFAULT, "qty_category")
+    df = guarded_ratio(df, "l_extendedprice", "l_quantity", "price_per_unit")
+    df = guarded_ratio(
+        df, "l_discount", "l_extendedprice", "discount_pct", scale=100.0
+    )
+    return df
+
+
+ENRICH_SELECT = (
+    f"*, {QTY_BUCKET_CASE} AS qty_category, "
+    "CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity "
+    "ELSE 0.0 END AS price_per_unit, "
+    "CASE WHEN l_extendedprice > 0 THEN l_discount / l_extendedprice * 100.0 "
+    "ELSE 0.0 END AS discount_pct"
+)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline (SURVEY.md §7.1): scan → F1 clean → P1
+    bucket → A1 grouped stats → O1 sort."""
+    return QUERIES_A1(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clean_range_filter",
+    f"SELECT * FROM lineitem WHERE {CLEAN_WHERE}",
+    doc="F1 conjunctive range-predicate filter (spark_processor.py:110-118)",
+)
+def q_clean_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean(_lineitem(spark, sf_dir))
+
+
+@register(
+    "iqr_outlier_filter",
+    """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT l.* FROM lineitem l, b
+    WHERE l.l_extendedprice >= b.q1 - 1.5 * (b.q3 - b.q1)
+      AND l.l_extendedprice <= b.q3 + 1.5 * (b.q3 - b.q1)
+    """,
+    doc="F2 two-phase IQR outlier removal (spark_processor.py:120-133); "
+    "exact percentile for oracle parity, percentile_approx at scale",
+)
+def q_iqr_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iqr_filter(_lineitem(spark, sf_dir), "l_extendedprice", exact=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Projections / derived columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucketize",
+    "SELECT l_orderkey, l_linenumber, l_quantity, "
+    f"{QTY_BUCKET_CASE} AS qty_category FROM lineitem",
+    doc="P1 conditional bucketing (spark_processor.py:185-189)",
+)
+def q_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = bucketize(
+        _lineitem(spark, sf_dir), "l_quantity", QTY_BUCKETS, QTY_DEFAULT,
+        "qty_category",
+    )
+    return df.select("l_orderkey", "l_linenumber", "l_quantity", "qty_category")
+
+
+@register(
+    "derived_ratios",
+    "SELECT l_orderkey, l_linenumber, "
+    "CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity "
+    "ELSE 0.0 END AS price_per_unit, "
+    "CASE WHEN l_extendedprice > 0 THEN l_discount / l_extendedprice * 100.0 "
+    "ELSE 0.0 END AS discount_pct "
+    "FROM lineitem",
+    doc="P2/P3 guarded division + percentage (spark_processor.py:190-195)",
+)
+def q_derived_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _lineitem(spark, sf_dir)
+    df = guarded_ratio(df, "l_extendedprice", "l_quantity", "price_per_unit")
+    df = guarded_ratio(
+        df, "l_discount", "l_extendedprice", "discount_pct", scale=100.0
+    )
+    return df.select("l_orderkey", "l_linenumber", "price_per_unit", "discount_pct")
+
+
+@register(
+    "sink_projection",
+    "SELECT l_orderkey AS order_id, CAST(l_suppkey AS INTEGER) AS supplier_id, "
+    "CAST(l_quantity AS REAL) AS quantity, CAST(l_extendedprice AS REAL) AS price, "
+    "CAST(l_discount AS REAL) AS discount, l_returnflag AS return_flag "
+    "FROM lineitem",
+    doc="P4 column pruning + rename + cast (spark_processor.py:338-349)",
+)
+def q_sink_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sink_projection(
+        _lineitem(spark, sf_dir),
+        [
+            ("l_orderkey", "order_id", None),
+            ("l_suppkey", "supplier_id", "int"),
+            ("l_quantity", "quantity", "float"),
+            ("l_extendedprice", "price", "float"),
+            ("l_discount", "discount", "float"),
+            ("l_returnflag", "return_flag", None),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vendor_stats",
+    f"""
+    SELECT l_returnflag,
+           count(*) AS total_trips,
+           sum(l_extendedprice) AS total_revenue,
+           avg(l_quantity) AS avg_quantity,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_discount,
+           avg(l_tax) AS avg_tax
+    FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE})
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A1 grouped agg by vendor-like key over the cleaned table "
+    "(spark_processor.py:223-232)",
+)
+def QUERIES_A1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = clean(_lineitem(spark, sf_dir))
+    return grouped_stats(
+        df,
+        ["l_returnflag"],
+        [
+            F.count(F.lit(1)).alias("total_trips"),
+            F.sum("l_extendedprice").alias("total_revenue"),
+            F.avg("l_quantity").alias("avg_quantity"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_discount"),
+            F.avg("l_tax").alias("avg_tax"),
+        ],
+    )
+
+
+@register(
+    "category_stats",
+    f"""
+    SELECT qty_category,
+           count(*) AS total_trips,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_quantity) AS avg_quantity,
+           avg(l_discount) AS avg_discount,
+           avg(price_per_unit) AS avg_price_per_unit
+    FROM (SELECT {ENRICH_SELECT}
+          FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE}))
+    GROUP BY qty_category ORDER BY qty_category
+    """,
+    doc="A2 grouped agg by derived bucket (spark_processor.py:258-266)",
+)
+def q_category_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = enrich(clean(_lineitem(spark, sf_dir)))
+    return grouped_stats(
+        df,
+        ["qty_category"],
+        [
+            F.count(F.lit(1)).alias("total_trips"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_quantity").alias("avg_quantity"),
+            F.avg("l_discount").alias("avg_discount"),
+            F.avg("price_per_unit").alias("avg_price_per_unit"),
+        ],
+    )
+
+
+@register(
+    "payment_stats",
+    f"""
+    SELECT l_linestatus,
+           count(*) AS total_trips,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_discount,
+           round(avg(l_discount) / avg(l_extendedprice) * 100.0, 6)
+             AS discount_price_ratio_pct
+    FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE})
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="A3 grouped agg with post-agg ratio-of-averages, preserved exactly "
+    "(spark_processor.py:295-303, expr :301)",
+)
+def q_payment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = clean(_lineitem(spark, sf_dir))
+    return grouped_stats(
+        df,
+        ["l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("total_trips"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_discount"),
+            F.round(
+                F.avg("l_discount") / F.avg("l_extendedprice") * 100.0, 6
+            ).alias("discount_price_ratio_pct"),
+        ],
+    )
+
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "column_stats",
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", round(min({c}), 2) AS min, "
+        f"round(max({c}), 2) AS max, round(avg({c}), 2) AS mean, "
+        f"round(stddev({c}), 2) AS stddev FROM lineitem"
+        for c in _STATS_COLS
+    ),
+    doc="A4 global per-column min/max/avg/stddev, 2 dp, ALL columns in one "
+    "pass (vs one job per column at spark_processor.py:377-400)",
+)
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return column_stats(_lineitem(spark, sf_dir), _STATS_COLS)
+
+
+@register(
+    "quality_metrics",
+    f"""
+    SELECT count(*) AS total_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_quantity,
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_l_extendedprice,
+           CAST(sum(CASE WHEN l_extendedprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS invalid_price,
+           CAST(sum(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_qty,
+           CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_discount,
+           CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+             AS BIGINT) AS duplicate_count,
+           round(greatest(0.0,
+             (count(*)
+              - sum(CASE WHEN l_extendedprice > 100000 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END))
+             * 100.0 / count(*)), 2) AS quality_score
+    FROM lineitem
+    """,
+    doc="F3/F4/F5 + A6-A9: single-pass quality metrics "
+    "(replaces the per-column count() jobs at data_validator.py:102-155)",
+)
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    )
+    rules = [
+        ("invalid_price", F.col("l_extendedprice") > 100000),
+        ("invalid_qty", F.col("l_quantity") >= 50),
+        ("invalid_discount", F.col("l_discount") > 0.08),
+    ]
+    out = quality_metrics(df, rules)
+    return out.select(
+        "total_rows",
+        F.col("null_l_quantity"),
+        F.col("null_l_extendedprice"),
+        "invalid_price",
+        "invalid_qty",
+        "invalid_discount",
+        "duplicate_count",
+        "quality_score",
+    )
+
+
+@register(
+    "summary_rollup",
+    f"""
+    SELECT CAST(sum(total_trips) AS BIGINT) AS total_total_trips,
+           round(sum(total_revenue), 2) AS total_total_revenue,
+           round(avg(avg_quantity), 6) AS mean_avg_quantity,
+           round(avg(avg_price), 6) AS mean_avg_price
+    FROM (
+      SELECT l_returnflag, count(*) AS total_trips,
+             sum(l_extendedprice) AS total_revenue,
+             avg(l_quantity) AS avg_quantity,
+             avg(l_extendedprice) AS avg_price
+      FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE})
+      GROUP BY l_returnflag
+    )
+    """,
+    doc="A10 second-level rollup over A1's output, in-engine instead of "
+    "driver pandas (main.py:213-219)",
+)
+def q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = clean(_lineitem(spark, sf_dir))
+    grouped = grouped_stats(
+        df,
+        ["l_returnflag"],
+        [
+            F.count(F.lit(1)).alias("total_trips"),
+            F.sum("l_extendedprice").alias("total_revenue"),
+            F.avg("l_quantity").alias("avg_quantity"),
+            F.avg("l_extendedprice").alias("avg_price"),
+        ],
+        order_by=[],
+    )
+    rolled = summary_rollup(
+        grouped, ["total_trips", "total_revenue"], ["avg_quantity", "avg_price"]
+    )
+    return rolled.select(
+        F.col("total_total_trips"),
+        F.round("total_total_revenue", 2).alias("total_total_revenue"),
+        F.round("mean_avg_quantity", 6).alias("mean_avg_quantity"),
+        F.round("mean_avg_price", 6).alias("mean_avg_price"),
+    )
+
+
+@register(
+    "two_key_agg_sql",
+    f"""
+    SELECT l_returnflag, qty_category,
+           count(*) AS trip_count,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_discount,
+           avg(l_quantity) AS avg_quantity
+    FROM (SELECT {ENRICH_SELECT}
+          FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE}))
+    GROUP BY l_returnflag, qty_category
+    ORDER BY l_returnflag, qty_category
+    LIMIT 100
+    """,
+    doc="A11/§2.9 SQL surface: two-key GROUP BY via spark.sql over a temp "
+    "view (main.py:332-340)",
+)
+def q_two_key_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enrich(clean(_lineitem(spark, sf_dir))).createOrReplaceTempView(
+        "lineitem_processed"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, qty_category,
+               count(*) AS trip_count,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount) AS avg_discount,
+               avg(l_quantity) AS avg_quantity
+        FROM lineitem_processed
+        GROUP BY l_returnflag, qty_category
+        ORDER BY l_returnflag, qty_category
+        LIMIT 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Sorts / top-k and §2.6 sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    doc="O2 top-k without full sort — TakeOrderedAndProject "
+    "(main.py:326-327)",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return top_k(df, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+
+
+@register(
+    "bernoulli_sample",
+    None,  # seeded RNG differs across engines — driver rows-only check
+    doc="SA1 seeded Bernoulli fraction sample (main.py:149-153); "
+    "no oracle: Spark's XORShiftRandom stream is engine-specific",
+)
+def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fraction_sample(_lineitem(spark, sf_dir), fraction=0.01, seed=42)

@@ -1,0 +1,65 @@
+"""Named-query registry: every operator the engine claims is
+registered here as (Spark builder, optional DuckDB oracle SQL).
+
+``__spark_entry__.py`` re-exports this registry to the driver. Each
+Spark builder takes ``(spark, sf_dir)`` and returns a DataFrame;
+the oracle SQL is the ANSI-SQL equivalent DuckDB runs on the same
+parquet tables. Output column names are part of the contract —
+aliased identically on both sides (the driver's compare sorts
+columns by name before hashing).
+
+Float-parity policy (verified empirically at sf0.01):
+- ``sum``/``avg`` over doubles match DuckDB bit-for-bit for
+  single-file inputs; ``stddev`` and multi-term per-group sums can
+  differ in the last ulp, so any such output is rounded (≥2 dp —
+  noise is ~1e-9, grid is 1e-2, so rounding is stable) on BOTH
+  sides.
+- Raw timestamp columns are projected only at ≥ms precision
+  (corpus has no sub-µs components).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → driver records rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+SPECS: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a query builder to the registry."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        SPECS[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _load_all() -> None:
+    # Import for side effects: each module registers its queries.
+    from big_data_processing_spark.plans import (  # noqa: F401
+        parity_queries,
+        extension_queries,
+    )
+
+
+_load_all()

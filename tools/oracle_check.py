@@ -1,0 +1,103 @@
+"""Local differential harness mimicking the driver's t2 gate.
+
+Runs every registered query on Spark AND its DuckDB oracle at the
+given sf dir, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted,
+values stringified). Exact-match discipline: floats are compared by
+repr, so any query that passes here is robust to the driver's hash.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+    return df
+
+
+def value_repr(df: pd.DataFrame) -> list[tuple]:
+    rows = [tuple(repr(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from big_data_processing_spark import get_spark
+    from big_data_processing_spark.plans.registry import SPECS
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    from big_data_processing_spark.sources.catalog import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, spec in SPECS.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        if len(s) != len(o):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            continue
+        if list(s.columns) != list(o.columns):
+            failures.append(name)
+            print(f"FAIL {name}: cols {list(s.columns)} vs {list(o.columns)}")
+            continue
+        sv, ov = value_repr(s), value_repr(o)
+        if sv != ov:
+            failures.append(name)
+            ndiff = sum(1 for a, b in zip(sv, ov) if a != b)
+            print(f"FAIL {name}: values differ ({ndiff}/{len(sv)} rows)")
+            for a, b in zip(sv, ov):
+                if a != b:
+                    print(f"  spark : {a}")
+                    print(f"  oracle: {b}")
+                    break
+        else:
+            print(f"ok   {name}: {len(s)} rows, {len(s.columns)} cols")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
