@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the engine's headline queries and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side result materialization cost) except tiny results,
+which are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    """Execute the full plan; return row count cheaply."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:  # noqa: BLE001 — noop sink unavailable: fall back
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from big_data_processing_spark import get_spark
+    from big_data_processing_spark.plans.registry import SPECS
+
+    spark = get_spark(app_name="bench")
+    # Warm the JVM + file-listing caches so per-query numbers measure
+    # the query, not first-touch overhead.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in SPECS.items():
+        start = time.perf_counter()
+        try:
+            force(spec.fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            continue
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

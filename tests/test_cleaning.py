@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+from big_data_processing_spark.operators.cleaning import (
+    iqr_bounds,
+    iqr_filter,
+    range_filter,
+)
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(float(v),) for v in values], "x double")
+
+
+def test_range_filter_bounds_inclusivity(spark):
+    df = _df(spark, [0, 1, 5, 10, 11])
+    # exclusive low, inclusive high
+    out = range_filter(df, [("x", 0.0, 10.0, False, True)])
+    assert sorted(r.x for r in out.collect()) == [1.0, 5.0, 10.0]
+    # inclusive low, exclusive high
+    out = range_filter(df, [("x", 0.0, 10.0, True, False)])
+    assert sorted(r.x for r in out.collect()) == [0.0, 1.0, 5.0]
+
+
+def test_range_filter_conjunction(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 100.0), (100.0, 1.0)], "a double, b double"
+    )
+    out = range_filter(
+        df, [("a", 0.0, 10.0, False, False), ("b", 0.0, 10.0, False, False)]
+    )
+    assert out.count() == 1
+
+
+def test_range_filter_empty_rules_is_identity(spark):
+    df = _df(spark, [1, 2, 3])
+    assert range_filter(df, []).count() == 3
+
+
+def test_iqr_bounds_quartiles(spark):
+    # 1..5: q1=2, q3=4, iqr=2 → bounds [-1, 7]
+    df = _df(spark, [1, 2, 3, 4, 5])
+    low, high = iqr_bounds(df, "x")
+    assert (low, high) == (-1.0, 7.0)
+
+
+def test_iqr_constant_column_keeps_all(spark):
+    # IQR=0 → bounds collapse to the constant; nothing is dropped
+    df = _df(spark, [7, 7, 7, 7])
+    assert iqr_filter(df, "x").count() == 4
+
+
+def test_iqr_filter_drops_outlier(spark):
+    values = list(range(1, 21)) + [1000]
+    df = _df(spark, values)
+    out = sorted(r.x for r in iqr_filter(df, "x").collect())
+    assert 1000.0 not in out
+    assert len(out) == 20
+
+
+def test_iqr_approx_close_to_exact(spark):
+    df = _df(spark, range(1, 1001))
+    lo_e, hi_e = iqr_bounds(df, "x", exact=True)
+    lo_a, hi_a = iqr_bounds(df, "x", exact=False)
+    assert abs(lo_e - lo_a) < 20 and abs(hi_e - hi_a) < 20
