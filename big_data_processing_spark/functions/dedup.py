@@ -1,0 +1,268 @@
+"""Deduplication operators for document-scale corpora: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard (north-star extension,
+SURVEY.md §7.4).
+
+All hashing is deterministic (xxhash64 / md5 built-ins with fixed
+permutation constants) so results are reproducible run-to-run.
+
+Scale notes
+-----------
+- Exact dedup is a hash shuffle on the dedup key — at 100 TB,
+  dedup on ``md5(normalized_text)`` (16-byte key) instead of the
+  full text to shrink shuffle width.
+- MinHash+LSH is the classic band-bucket-join: signatures are
+  computed scan-side (narrow), candidate generation shuffles only
+  (doc_id, band_hash) pairs, and exact Jaccard verification runs
+  only within buckets. Tune (num_perm, bands) for the target
+  similarity threshold; buckets with pathological collision counts
+  are handled by AQE skew-splitting of the self-join.
+- SimHash is computed with pure JVM expressions (64 bitplane
+  aggregations per doc). Near-dup candidates come from 16-bit
+  chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.text import (
+    char_ngrams,
+    md5_fingerprint,
+    normalize_text,
+)
+
+# Mersenne prime 2^31 - 1: modular universal-hash family for MinHash.
+_MERSENNE = (1 << 31) - 1
+# Deterministic permutation constants (a, b) — fixed small PRNG-free
+# sequence derived from the permutation index.
+_A = [2 * i + 1 for i in range(1, 129)]  # odd multipliers
+_B = [(i * i * 7919 + 13) % _MERSENNE for i in range(1, 129)]
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (generalizes A7,
+    reference data_validator.py:128-129)."""
+    return df.dropDuplicates(subset)
+
+
+def dedup_by_fingerprint(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Keep one representative (min id) per md5-normalized-text
+    fingerprint. Shuffles the 32-hex-char fingerprint, not the
+    document text — the 100 TB-friendly exact dedup."""
+    fp = md5_fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash signatures as (id, m0..m{k-1}) — one column per
+    permutation.
+
+    Spark-idiomatic shape: explode shingles → ONE hash-aggregate
+    with ``num_perm`` small ``min()`` columns. Partial (map-side)
+    aggregation means the shuffle carries one 32-long row per doc
+    per partition, and the whole thing stays in whole-stage codegen
+    (an array-expression formulation with 32 nested transforms
+    measured ~10× slower — codegen falls over on huge expression
+    trees). Docs with no shingles drop out (they have no near-dup
+    semantics)."""
+    shingle = F.explode(char_ngrams(F.col(text_col), shingle_n)).alias("s")
+    hashed = df.select(F.col(id_col), shingle).select(
+        id_col, F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
+    )
+    aggs = [
+        F.min((F.col("h") * _A[i] + _B[i]) % _MERSENNE).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard
+    verification. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Pipeline: signatures (explode + one agg) → band hashes → bucket
+    self-join on (band, bucket) ids only → distinct candidate pairs
+    → exact shingle-set Jaccard re-computed just for candidates.
+    Only ids and band hashes ever shuffle; document shingles are
+    re-derived scan-side for the (small) candidate set."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[
+                    F.col(f"m{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    shingled = df.select(
+        F.col(id_col), char_ngrams(F.col(text_col), shingle_n).alias("sh")
+    )
+    pairs = cand.join(
+        shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+        on="id_a",
+    ).join(
+        shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+        on="id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document as (id, simhash long).
+
+    Same explode-then-aggregate shape as MinHash: one row per token,
+    64 ``sum(±1)`` bitplane votes in a single hash-aggregate, then
+    the sign bits are recombined into one long. Map-side partial
+    aggregation keeps the shuffle at one 64-int row per doc per
+    partition."""
+    token = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t")
+    hashed = df.select(F.col(id_col), token).select(
+        id_col, F.xxhash64("t").alias("h")
+    )
+    votes = [
+        F.sum(
+            (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.when(
+            F.col(f"v{j}") > 0,
+            F.lit(1 << j).cast("long") if j < 63 else F.lit(-(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return voted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit-chunk banding for candidates
+    (hamming ≤ 3 ⇒ at least one of 4 chunks equal), verified with
+    ``bit_count(a XOR b) <= max_hamming``."""
+    sim = simhash64_table(df, text_col, id_col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned("simhash", 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("key"),
+        )
+        for c in range(4)
+    ])
+    banded = sim.select(
+        id_col, "simhash", F.explode(chunks).alias("cc")
+    ).select(id_col, "simhash", "cc.chunk", "cc.key")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+        "chunk", "key",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+        "chunk", "key",
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        left.join(right, on=["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity for all pairs sharing a
+    blocking key (e.g. language + length bucket). Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    Blocking keeps the self-join from being quadratic: pairs are
+    generated only within blocks, which is how pairwise dedup stays
+    feasible at corpus scale."""
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        char_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    left = base.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")
+    )
+    right = base.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        left.join(right, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,164 @@
+"""Text-analysis functions for large-scale document pipelines:
+normalization, token statistics, quality scoring, language ID,
+fingerprinting (north-star extension, SURVEY.md §7.4).
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+(regexp/string/array expressions inside whole-stage codegen) — no
+Python UDFs in any hot path, so these run at scan speed over 100 TB
+of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword marker sets for the n-gram/stopword
+# language heuristic. Deliberately tiny and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace + trim — the canonical form
+    used for fingerprinting and dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-ish proxy token count: word-piece-like segments
+    (letter runs, digit runs, single punctuation) counted via
+    regexp extraction — a deterministic stand-in for a real
+    tokenizer's token count."""
+    return F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+
+
+def avg_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    n = F.length(col)
+    stripped = F.length(
+        F.regexp_replace(col, r"[!-/:-@\[-`{-~]", "")
+    )
+    return F.when(n > 0, (n - stripped).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (array-filter based —
+    stays JVM-side; the stopword list is a literal array)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document quality heuristic in [0, 1]: rewards
+    mid-length docs and plausible word shape, penalizes punctuation
+    soup. Deterministic, explainable, cheap."""
+    n_tok = token_count(col).cast("double")
+    length_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    shape_score = F.when(
+        (avg_token_length(col) >= 2) & (avg_token_length(col) <= 12),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.5))
+    punct_penalty = F.least(punct_ratio(col) * 2.0, F.lit(1.0))
+    score = length_score * 0.5 + shape_score * 0.3 + (1.0 - punct_penalty) * 0.2
+    return F.round(score, 4)
+
+
+def marker_hits(col: Column, words: list[str]) -> Column:
+    """Occurrence count of any marker word (token-exact) in the text."""
+    sw = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """Argmax over per-language marker-hit columns; ties go to the
+    alphabetically-first language; 'und' when all counts are zero.
+
+    Implemented as a CASE ladder (branch i: hits_i > 0 AND hits_i >=
+    every other) so the exact same logic is expressible in ANSI SQL
+    for the oracle."""
+    codes = sorted(hits)
+    expr: Column | None = None
+    for code in codes:
+        cond = hits[code] > 0
+        for other in codes:
+            if other != code:
+                cond = cond & (hits[code] >= hits[other])
+        expr = F.when(cond, code) if expr is None else expr.when(cond, code)
+    assert expr is not None
+    return expr.otherwise(F.lit("und"))
+
+
+def lang_id(col: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Stopword-marker language ID (n-gram heuristic family):
+    argmax of per-language marker hit counts."""
+    markers = markers or LANG_MARKERS
+    return lang_id_from_hits(
+        {code: marker_hits(col, words) for code, words in markers.items()}
+    )
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized
+    text. Engine-portable (md5 is standard), used for exact-dup
+    detection across pipelines."""
+    return F.md5(normalize_text(col))
+
+
+def char_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of the character *sets* of two strings
+    (DuckDB-`jaccard`-compatible semantics)."""
+    ca = F.array_distinct(F.split(a, ""))
+    cb = F.array_distinct(F.split(b, ""))
+    inter = F.size(F.array_intersect(ca, cb))
+    union = F.size(F.array_union(ca, cb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles) of the normalized text
+    — the input sets for MinHash/Jaccard dedup. JVM-side via
+    sequence+transform+substr; empty array for too-short docs."""
+    norm = normalize_text(col)
+    count = F.greatest(F.length(norm) - (n - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))

@@ -1,0 +1,72 @@
+"""Join operators (north-star extension — the reference has no joins,
+SURVEY.md §2.8; these follow the TPC-H-style patterns its corpus
+enables).
+
+Scale notes
+-----------
+- ``dim_join`` broadcasts the small side explicitly: dimension
+  tables (region/nation/supplier/customer at typical star-schema
+  ratios) fit in executor memory, so the fact table never shuffles.
+  At 100 TB of facts this is the difference between a map-side join
+  and a multi-TB exchange.
+- ``fact_join`` leaves strategy to Catalyst + AQE (sort-merge with
+  runtime skew splitting). Callers can pre-bucket both sides on the
+  key to eliminate the shuffle entirely for repeated joins.
+- ``salted_join`` handles a known-skewed key set without AQE by
+  exploding the hot keys' build side over ``salt`` replicas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Broadcast-hash join of a fact table against a small dimension."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def fact_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Large-to-large join; Catalyst picks sort-merge/shuffle-hash,
+    AQE splits skewed partitions at runtime."""
+    return left.join(right, on=on, how=how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each left-side key over
+    ``salt`` shards and replicate the right side per shard.
+
+    Use when one key dominates (power-law keys) and AQE's runtime
+    skew handling isn't available (e.g. bucketed inputs). Costs a
+    ``salt``× blow-up of the right side — keep the right side the
+    smaller input.
+    """
+    left_salted = left.withColumn(
+        "__salt", (F.rand(42) * salt).cast("int")
+    )
+    right_salted = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    out = left_salted.join(right_salted, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -1,0 +1,76 @@
+"""Window-function operators (north-star extension — absent from the
+reference, SURVEY.md §2.8).
+
+Scale notes: every window here partitions by a real key (never a
+global ``Window.orderBy`` without partitioning, which would funnel
+100 TB through one task). Top-k-per-group uses ``row_number`` +
+filter — Spark pushes the rank filter into the sort via
+``WindowGroupLimit`` (no full materialization per group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group via row_number ≤ k. Include a unique
+    tie-break column in ``order`` for deterministic output."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def running_total(
+    df: DataFrame,
+    partition_by: list[str],
+    order: list[Column],
+    value: str,
+    out: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum within each partition in the given order."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(value).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: float,
+    session_col: str = "session_id",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap
+    from the previous event exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum-of-boundaries pattern — two window
+    passes over the same (user, ts) partitioning, so one shuffle.
+    Timestamps compare at fractional-second (µs) precision; pass
+    ``tiebreak`` columns for a total order when timestamps repeat.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    t = F.col(ts_col).cast("double")  # epoch seconds incl. µs fraction
+    gap_sec = t - F.lag(t).over(w)
+    is_new = F.when(
+        gap_sec.isNull() | (gap_sec > gap_minutes * 60.0), 1
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

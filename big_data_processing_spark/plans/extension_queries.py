@@ -1,7 +1,567 @@
-"""North-star extension queries (SURVEY.md §7.4): joins, windows,
-dedup, similarity search, text analysis, event windows.
+"""North-star extension queries (SURVEY.md §7.4): joins, window
+functions, event-time windows, dedup, similarity search, text
+analysis. These go beyond the reference's operator surface (which
+has none of these — SURVEY.md §2.8) and cover what a large-scale
+training-data pipeline needs.
 
-Filled in incrementally after reference parity is green.
+Float-parity policy: any aggregate whose input order depends on a
+join/shuffle is rounded on both sides (2 dp for ~1e9-magnitude
+sums, 4-6 dp for averages/ratios — noise is ≤1e-7, grids are ≥1e-6).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.dedup import (
+    dedup_by_fingerprint,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from big_data_processing_spark.functions.similarity import (
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+)
+from big_data_processing_spark.functions.text import (
+    LANG_MARKERS,
+    avg_token_length,
+    bpe_ish_token_count,
+    lang_id,
+    md5_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    EN_STOPWORDS,
+)
+from big_data_processing_spark.operators.joins import dim_join, fact_join
+from big_data_processing_spark.operators.windows import (
+    running_total,
+    sessionize,
+    topk_per_group,
+)
+from big_data_processing_spark.plans.registry import register
+from big_data_processing_spark.sources.catalog import load_table
+
+# SQL fragment: the engine's text normalization, in DuckDB dialect.
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Joins (broadcast dims, large-fact joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_mktsegment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_revenue,
+           round(avg(o.o_totalprice), 4) AS avg_order_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    doc="Broadcast dim join (customer) against the orders fact + grouped agg",
+)
+def q_join_mktsegment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = dim_join(orders, customer, on="o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           any_value(o.o_orderpriority) AS o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped 3-way join (two broadcast dims + fact) with "
+    "top-k by aggregated revenue",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = fact_join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        dim_join(
+            orders,
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            on="o_custkey",
+        ).select("o_orderkey", "o_orderpriority"),
+        on="o_orderkey",
+    )
+    return (
+        joined.groupBy(F.col("o_orderkey").alias("l_orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.any_value(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "suppliers_by_region",
+    """
+    SELECT r.r_name,
+           count(*) AS n_suppliers,
+           round(avg(s.s_acctbal), 4) AS avg_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    doc="Snowflake dim chain (supplier→nation→region) via broadcast joins",
+)
+def q_suppliers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    joined = dim_join(dim_join(supplier, nation, "s_nationkey"), region,
+                      "n_regionkey")
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers_per_nation",
+    """
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_nationkey, c_custkey, total_spend, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT c.c_nationkey, c.c_custkey, s.total_spend,
+             row_number() OVER (
+               PARTITION BY c.c_nationkey
+               ORDER BY s.total_spend DESC, c.c_custkey
+             ) AS rank
+      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+    )
+    WHERE rank <= 3
+    """,
+    doc="Window top-k per group: rank customers by spend within nation "
+    "(row_number + WindowGroupLimit pushdown)",
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    joined = dim_join(spend, customer.select("c_custkey", "c_nationkey"),
+                      "c_custkey")
+    return topk_per_group(
+        joined,
+        ["c_nationkey"],
+        [F.col("total_spend").desc(), F.col("c_custkey")],
+        3,
+    ).select("c_nationkey", "c_custkey", "total_spend", "rank")
+
+
+@register(
+    "running_revenue_per_supplier",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_revenue
+    FROM lineitem
+    """,
+    doc="Cumulative window sum per supplier in ship-date order",
+)
+def q_running_revenue_per_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    out = running_total(
+        df,
+        ["l_suppkey"],
+        [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "l_extendedprice",
+        out="running_revenue",
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("running_revenue", 2).alias("running_revenue"),
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Gap-based sessionization (30-min gap) via lag + cumulative "
+    "boundary sum; one shuffle on (user, ts)",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        events, "user_id", "ts", gap_minutes=30.0, tiebreak=["event_id"]
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (streaming-shaped, batch-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Tumbling event-time window aggregation (same plan Structured "
+    "Streaming produces for a 1h window; see streaming/windowed.py)",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_fingerprint",
+    f"""
+    SELECT md5({NORM_SQL}) AS fingerprint,
+           min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup via md5-of-normalized-text fingerprint — shuffles "
+    "16-byte keys, not document bodies (the 100 TB-safe exact dedup)",
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_by_fingerprint(docs, "text", "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             list_distinct([substr(s, i, 3)
+                            FOR i IN range(1, greatest(len(s) - 1, 1))]) AS grams
+      FROM (SELECT doc_id, lang, n_chars, {NORM_SQL} AS s FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+             AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.3
+    """,
+    doc="Exact 3-gram-set Jaccard near-dup pairs with (lang, length-bucket) "
+    "blocking — pairwise work stays within blocks, never quadratic "
+    "over the corpus",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "len_bucket"], n=3, threshold=0.3
+    )
+
+
+@register(
+    "minhash_near_dup",
+    None,  # xxhash64 permutations are engine-specific → rows-only check
+    doc="MinHash(32 perms)+LSH(8 bands) near-dup candidate pairs with "
+    "exact-Jaccard verification ≥0.5; deterministic xxhash64 basis",
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", num_perm=32, bands=8, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_near_dup",
+    None,  # xxhash64 basis → rows-only check
+    doc="SimHash64 near-dup pairs (hamming ≤ 3) via 16-bit chunk banding",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "text", "doc_id").orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 8) AS cos
+      FROM c, q WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id
+             ) AS rank
+      FROM s
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "cosine_topk",
+    _ANN_ORACLE,
+    doc="Brute-force cosine top-5 neighbors for 5 query vectors: "
+    "broadcast nested loop + per-query window top-k (exact baseline)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "cosine_topk_lsh",
+    None,  # approximate (bucket-restricted) → rows-only check
+    doc="Hyperplane-LSH bucketed cosine top-k — the 100 TB scale path: "
+    "bucket equi-join instead of full cross product",
+)
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_cosine_topk(emb, queries, dim=64, k=5, num_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {NORM_SQL} AS norm,
+             string_split({NORM_SQL}, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+           round(CASE WHEN len(toks) > 0
+                 THEN list_aggregate(list_transform(toks,
+                      t -> CAST(len(t) AS DOUBLE)), 'sum') / len(toks)
+                 ELSE 0.0 END, 4) AS avg_token_len,
+           round(CASE WHEN len(text) > 0
+                 THEN CAST(len(text) - len(regexp_replace(text,
+                      '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / len(text)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks,
+                      t -> list_contains([{_SW}], t))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 6) AS stopword_ratio
+    FROM t
+    """,
+    doc="Per-document token counts (whitespace + BPE-ish regex), shape "
+    "and stopword/punctuation ratios — all JVM-side expressions",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        F.round(avg_token_length(text), 4).alias("avg_token_len"),
+        F.round(punct_ratio(text), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text), 6).alias("stopword_ratio"),
+    )
+
+
+def _marker_sql(words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split({NORM_SQL}, ' '), "
+        f"t -> list_contains([{arr}], t)))"
+    )
+
+
+_LANG_CODES = sorted(LANG_MARKERS)
+_LANG_CASE = "CASE " + " ".join(
+    "WHEN h_{c} > 0 AND {conds} THEN '{c}'".format(
+        c=code,
+        conds=" AND ".join(
+            f"h_{code} >= h_{other}" for other in _LANG_CODES if other != code
+        ),
+    )
+    for code in _LANG_CODES
+) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    f"""
+    SELECT doc_id, {_LANG_CASE} AS lang_pred
+    FROM (
+      SELECT doc_id,
+             {", ".join(f"{_marker_sql(LANG_MARKERS[c])} AS h_{c}" for c in _LANG_CODES)}
+      FROM documents
+    )
+    """,
+    doc="Stopword-marker language ID: per-language token-hit counts + "
+    "deterministic argmax ladder",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({NORM_SQL}) AS fingerprint
+    FROM documents
+    """,
+    doc="Deterministic document fingerprint (md5 of normalized text)",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", md5_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "doc_quality",
+    None,  # composite heuristic uses nested least/when — checked by unit
+    # tests; rows-only here (SQL expressible but duplicated logic adds
+    # no oracle value beyond text_stats' verified components)
+    doc="Composite document quality score in [0,1] from length/shape/"
+    "punctuation heuristics",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantiles (A5 as a first-class query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_quantiles",
+    """
+    SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
+           quantile_cont(l_extendedprice, 0.50) AS q50,
+           quantile_cont(l_extendedprice, 0.75) AS q75
+    FROM lineitem
+    """,
+    doc="A5 percentile aggregate — exact (sort-based) for oracle parity; "
+    "percentile_approx is the documented 100 TB path",
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.select(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q25"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("q50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q75"),
+    )

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.similarity import (
+    brute_force_cosine_topk,
+    cosine,
+    lsh_cosine_topk,
+)
+
+
+def _vec_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),   # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),    # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),   # opposite to 0
+        (4, [1.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]),
+         ([1.0, 2.0], [2.0, 3.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == 0.0
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2] - 8 / (math.sqrt(5) * math.sqrt(13))) < 1e-12
+
+
+def test_cosine_zero_vector_safe(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>"
+    )
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c == 0.0
+
+
+def test_brute_force_topk_ordering_and_self_exclusion(spark):
+    df = _vec_df(spark)
+    queries = df.filter(F.col("vec_id") == 0)
+    out = brute_force_cosine_topk(df, queries, k=4).collect()
+    ids = [r.vec_id for r in out]
+    assert ids[0] == 1          # nearest: nearly parallel
+    assert ids[-1] == 3         # farthest: opposite
+    assert 0 not in ids         # no self-match
+    assert [r.rank for r in out] == [1, 2, 3, 4]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    df = _vec_df(spark)
+    queries = df.filter(F.col("vec_id") == 0)
+    out = lsh_cosine_topk(df, queries, dim=3, k=4, num_planes=2).collect()
+    assert all(r.query_id == 0 and r.vec_id != 0 for r in out)
+    # approximate: results are a subset of the exact candidate set
+    assert {r.vec_id for r in out} <= {1, 2, 3, 4}

@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.text import (
+    char_jaccard,
+    char_ngrams,
+    lang_id,
+    md5_fingerprint,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col(F.col("text")).alias("v")
+    ).collect()[0].v
+
+
+def test_normalize_text(spark):
+    assert _one(spark, "  Hello   WORLD \n", normalize_text) == "hello world"
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", token_count) == 3
+    assert _one(spark, "", token_count) == 1  # split('') -> ['']
+
+
+def test_char_ngrams(spark):
+    got = _one(spark, "abcd", lambda c: char_ngrams(c, 3))
+    assert got == ["abc", "bcd"]
+
+
+def test_char_ngrams_short_text_empty(spark):
+    assert _one(spark, "ab", lambda c: char_ngrams(c, 3)) == []
+
+
+def test_md5_fingerprint_normalization_invariant(spark):
+    a = _one(spark, "Hello  World", md5_fingerprint)
+    b = _one(spark, "hello world", md5_fingerprint)
+    assert a == b and len(a) == 32
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "ab!!", punct_ratio) == 0.5
+    assert _one(spark, "", punct_ratio) == 0.0
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, "the cat and dog", stopword_ratio) == 0.5
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, "the cat and the hat is here", lang_id) == "en"
+    assert _one(spark, "der hund ist nicht da und die katze", lang_id) == "de"
+    assert _one(spark, "zzz qqq xxx", lang_id) == "und"
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [("a reasonable length document with many plain words in it "
+          "that goes on for a while longer",),
+         ("!!!???###",), ("",)],
+        "text string",
+    )
+    scores = [
+        r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores[0] > scores[1]  # clean prose beats punctuation soup
+
+
+def test_char_jaccard_matches_duckdb_semantics(spark):
+    import duckdb
+
+    expected = duckdb.connect().execute(
+        "SELECT jaccard('hello', 'hallo')"
+    ).fetchone()[0]
+    df = spark.createDataFrame([("hello", "hallo")], "a string, b string")
+    got = df.select(
+        char_jaccard(F.col("a"), F.col("b")).alias("j")
+    ).collect()[0].j
+    assert abs(got - expected) < 1e-12

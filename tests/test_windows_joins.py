@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.operators.joins import (
+    dim_join,
+    fact_join,
+    salted_join,
+)
+from big_data_processing_spark.operators.windows import (
+    running_total,
+    sessionize,
+    topk_per_group,
+)
+
+
+def test_dim_join_broadcast_in_plan(spark):
+    fact = spark.range(100).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], "k long, name string")
+    out = dim_join(fact, dim, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 2
+
+
+def test_fact_join(spark):
+    a = spark.range(10).select(F.col("id").alias("k"))
+    b = spark.range(5).select(F.col("id").alias("k"))
+    assert fact_join(a, b, "k").count() == 5
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, "x")] * 50 + [(2, "y")] * 3, "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, rv double")
+    plain = fact_join(left, right, "k").groupBy("k").count()
+    salted = salted_join(left, right, "k", salt=4).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 9.0)], "g string, v double"
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc()], 2).collect()
+    got = {(r.g, r.v, r.rank) for r in out}
+    assert got == {("a", 3.0, 1), ("a", 2.0, 2), ("b", 9.0, 1)}
+
+
+def test_running_total(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 5.0), ("a", 3, 1.0)],
+        "g string, i long, v double",
+    )
+    out = running_total(df, ["g"], [F.col("i")], "v").collect()
+    assert [r.running_total for r in sorted(out, key=lambda r: r.i)] == [
+        10.0, 15.0, 16.0,
+    ]
+
+
+def test_sessionize_gap_splits(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(minutes=10), 2),   # same session
+        (1, t0 + dt.timedelta(minutes=50), 3),   # gap 40 > 30 → new session
+        (2, t0, 4),                               # other user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sessionize(df, "user_id", "ts", 30.0, tiebreak=["event_id"])
+    got = {r.event_id: r.session_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_exact_gap_not_new_session(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 1), (1, t0 + dt.timedelta(minutes=30), 2)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = sessionize(df, "user_id", "ts", 30.0, tiebreak=["event_id"])
+    assert {r.session_id for r in out.collect()} == {1}  # gap > 30 strictly
