@@ -1,0 +1,102 @@
+"""Structured Streaming operators: watermarked tumbling-window
+aggregation over the events stream (north-star extension; the
+reference has no streaming at all, SURVEY.md §2.8).
+
+The batch query ``events_hourly`` in plans/extension_queries.py is
+the oracle-checked twin of ``hourly_event_counts`` — Structured
+Streaming runs the same logical plan incrementally, which is why
+the batch/streaming results agree for complete (non-late) input.
+
+Scale notes
+-----------
+- The watermark bounds state: with a 2-hour watermark and 1-hour
+  windows the state store holds ≤ ~3 windows per event_type per
+  partition, regardless of total volume.
+- File-source streams partition naturally; for Kafka swap
+  ``format("parquet")`` for ``format("kafka")`` — the aggregation
+  plan is unchanged.
+- ``foreachBatch`` is the idiomatic exactly-once sink adapter for
+  JDBC/parquet targets at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the stream reader uses
+# the nanos-as-long schema and converts exactly like sources/catalog.py.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the corpus directory's events table.
+
+    File streams require a *directory* source; the corpus keeps one
+    parquet file per table in one dir, so a glob filter selects just
+    the events file. New files matching the glob are picked up
+    incrementally — the standard landing-zone ingestion pattern."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked 1-hour tumbling-window counts + value sums per
+    event_type. Late events beyond the watermark are dropped and
+    their windows finalized (state stays bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("win").start.alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drive a streaming aggregation to completion against a memory
+    sink (local smoke-test harness; production uses foreachBatch or
+    a file/Kafka sink). Returns the materialized result table."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}")

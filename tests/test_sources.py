@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import os
+
+from big_data_processing_spark.sources.catalog import (
+    TABLES,
+    load_table,
+    register_views,
+)
+from big_data_processing_spark.sources.files import (
+    read_csv,
+    read_parquet,
+    write_csv,
+    write_parquet,
+)
+from big_data_processing_spark.sources.jdbc import jdbc_reader, write_jdbc
+from tests.conftest import SF0001
+
+
+def test_load_all_tables(spark):
+    for name in TABLES:
+        df = load_table(spark, SF0001, name)
+        assert df.count() > 0, name
+
+
+def test_events_ts_is_timestamp(spark):
+    df = load_table(spark, SF0001, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_register_views_sql(spark):
+    register_views(spark, SF0001, ("region", "nation"))
+    out = spark.sql(
+        "SELECT count(*) AS n FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey"
+    ).collect()
+    assert out[0].n > 0
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = os.path.join(str(tmp_path), "t.parquet")
+    write_parquet(df, path, target_partitions=1)
+    back = read_parquet(spark, path)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.5)], "id long, v double")
+    path = os.path.join(str(tmp_path), "t.csv")
+    write_csv(df, path, target_partitions=1)
+    back = read_csv(spark, path, schema=df.schema)
+    assert back.collect()[0].v == 2.5
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "id long, part string"
+    )
+    path = os.path.join(str(tmp_path), "p.parquet")
+    write_parquet(df, path, partition_by=["part"])
+    back = read_parquet(spark, path).filter("part = 'x'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 2
+    assert "PartitionFilters: [isnotnull(part" in plan  # pruning pushed down
+
+
+def test_jdbc_wrappers_build_without_db(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    reader = jdbc_reader(
+        spark, "jdbc:postgresql://localhost/db", "(SELECT 1) q",
+        partition_options={"numPartitions": "4"},
+    )
+    writer = write_jdbc(df, "jdbc:postgresql://localhost/db", "t")
+    assert reader is not None and writer is not None
