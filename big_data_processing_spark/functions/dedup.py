@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_processing_spark.functions.text import (
-    char_ngrams,
+    char_ngrams_of_norm,
     md5_fingerprint,
     normalize_text,
 )
@@ -78,9 +78,13 @@ def minhash_signatures(
     measured ~10× slower — codegen falls over on huge expression
     trees). Docs with no shingles drop out (they have no near-dup
     semantics)."""
-    shingle = F.explode(char_ngrams(F.col(text_col), shingle_n)).alias("s")
-    hashed = df.select(F.col(id_col), shingle).select(
-        id_col, F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
+    hashed = (
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("nrm"))
+        .select(
+            F.col(id_col),
+            F.explode(char_ngrams_of_norm(F.col("nrm"), shingle_n)).alias("s"),
+        )
+        .select(id_col, F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h"))
     )
     aggs = [
         F.min((F.col("h") * _A[i] + _B[i]) % _MERSENNE).alias(f"m{i}")
@@ -137,7 +141,9 @@ def minhash_near_duplicates(
     )
 
     shingled = df.select(
-        F.col(id_col), char_ngrams(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col), normalize_text(F.col(text_col)).alias("nrm")
+    ).select(
+        F.col(id_col), char_ngrams_of_norm(F.col("nrm"), shingle_n).alias("sh")
     )
     pairs = cand.join(
         shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
@@ -248,7 +254,11 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        char_ngrams(F.col(text_col), n).alias("grams"),
+        normalize_text(F.col(text_col)).alias("nrm"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        char_ngrams_of_norm(F.col("nrm"), n).alias("grams"),
     )
     left = base.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")
