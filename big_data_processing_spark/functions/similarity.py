@@ -151,3 +151,44 @@ def lsh_cosine_topk(
         [F.col("cos").desc(), F.col(id_col)],
         k,
     ).select("query_id", id_col, "cos", "rank")
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    ndigits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking keys:
+    all (id_a < id_b) pairs sharing ``block_cols`` whose cosine
+    similarity meets ``threshold``.
+
+    Blocking (cluster id / label / LSH bucket) keeps the self-join
+    from going quadratic over the corpus — the standard shape for
+    embedding-based dedup of a training set. For unblocked corpora,
+    feed ``hyperplane_signature`` buckets as the block column.
+    """
+    base = df.select(
+        *block_cols, F.col(id_col), F.col(vec_col)
+    )
+    left = base.select(
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+    )
+    right = base.select(
+        *block_cols,
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+    )
+    return (
+        left.join(right, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("v_a"), F.col("v_b")), ndigits)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

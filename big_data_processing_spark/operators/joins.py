@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def dim_join(
@@ -70,3 +71,60 @@ def salted_join(
     )
     out = left_salted.join(right_salted, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    prefix: str = "asof_",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to each left row the most
+    recent right row with ``right_ts <= left_ts``, per key.
+
+    Spark-first formulation: a naive range join is quadratic per key,
+    so instead both sides are tagged and unioned, sorted once within
+    each key partition, and the latest right payload is carried
+    forward with ``last(ignorenulls)`` — ONE shuffle on the key,
+    linear work, and the sort is the same exchange a sort-merge join
+    would have paid anyway. Equal timestamps match (right sorts
+    before left at the same instant).
+
+    ``payload_cols`` are the right-side columns to carry (emitted as
+    ``{prefix}{col}``). Determinism requires right to be unique per
+    (key, right_ts); pre-aggregate otherwise. ``how``: 'left' keeps
+    unmatched left rows (null payload), 'inner' drops them.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
+        F.lit(0).alias("__is_left"),
+    )
+    lhs = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    combined = lhs.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = combined.withColumn(
+        "__match", F.last("__p", ignorenulls=True).over(w)
+    ).filter(F.col("__is_left") == 1)
+    if how == "inner":
+        matched = matched.filter(F.col("__match").isNotNull())
+    out = matched.select(
+        *[c for c in left.columns],
+        *[
+            F.col(f"__match.{c}").alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    return out

@@ -565,3 +565,151 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.50)").alias("q50"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("q75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join / set ops / embedding dedup / sampling / multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_click",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, round(p.value, 6) AS value,
+           c.event_id AS click_event_id,
+           round(epoch(p.ts) - epoch(c.ts), 6) AS gap_s
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="Point-in-time enrichment: each purchase matched to the user's "
+    "most recent prior click (union+window as-of join — one shuffle, "
+    "linear per key; operators/joins.py asof_join)",
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id", "ts"],
+        prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.col("click_event_id"),
+        F.round(
+            F.col("ts").cast("double") - F.col("click_ts").cast("double"), 6
+        ).alias("gap_s"),
+    )
+
+
+@register(
+    "customers_inactive_1998",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND year(o.o_orderdate) = 1998
+    )
+    ORDER BY c_custkey
+    """,
+    doc="Anti-join set operation: customers with no 1998 orders "
+    "(left_anti against a filtered fact — the NOT EXISTS shape)",
+)
+def q_customers_inactive_1998(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders_98 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1998)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        customer.join(orders_98, on="c_custkey", how="left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 8) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 8) >= 0.3
+    """,
+    doc="Embedding-cosine near-duplicate pairs blocked by label "
+    "(cluster id) — the embedding-based dedup shape; blocking keeps "
+    "the self-join linear in block size, never corpus-quadratic",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        emb, ["label"], "vec_id", "embedding", threshold=0.3
+    )
+
+
+@register(
+    "fixed_size_sample",
+    None,  # rand()-ordered → rows-only check (SA2 has no native exact-n op)
+    doc="SA2 fixed-size sample: orderBy(rand(seed)).limit(n) — "
+    "deterministic per (seed, partitioning); documented caveat in "
+    "operators/sampling.py",
+)
+def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.sampling import (
+        fixed_size_sample,
+    )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    return fixed_size_sample(df, n=1000, seed=42)
+
+
+@register(
+    "image_features",
+    None,  # stubbed decode kernel → rows-only check
+    doc="Multimodal plumbing: documents' bytes as opaque binary media, "
+    "mapInPandas Arrow-batched feature extraction (stub decode kernel; "
+    "functions/multimodal.py)",
+)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.multimodal import (
+        extract_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return extract_image_features(media, dim=8).orderBy("media_id")

@@ -457,3 +457,37 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fraction_sample(_lineitem(spark, sf_dir), fraction=0.01, seed=42)
+
+
+@register(
+    "rollup_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    doc="A10 as a first-class multi-level rollup: per-(flag,status) "
+    "subtotals, per-flag subtotals, and the grand total in ONE "
+    "aggregation pass via df.rollup + grouping_id (the idiomatic "
+    "upgrade over the reference's driver-side re-agg, main.py:213-219)",
+)
+def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _lineitem(spark, sf_dir)
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n", "sum_qty", "sum_price"
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )

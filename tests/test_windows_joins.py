@@ -85,3 +85,65 @@ def test_sessionize_exact_gap_not_new_session(spark):
     )
     out = sessionize(df, "user_id", "ts", 30.0, tiebreak=["event_id"])
     assert {r.session_id for r in out.collect()} == {1}  # gap > 30 strictly
+
+
+def test_asof_join_basic(spark):
+    from big_data_processing_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), 100), (1, ts(0), 101), (2, ts(5), 102)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), 7.0), (1, ts(9), 8.0), (3, ts(0), 9.0)],
+        "k long, ts timestamp, quote double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload_cols=["quote"],
+    )
+    got = {r.lid: r.asof_quote for r in out.collect()}
+    # lid=100 at t+10 → latest quote ≤ t+10 is 8.0 (t+9)
+    # lid=101 at t+0 → no quote yet → null; lid=102 key has no quotes
+    assert got == {100: 8.0, 101: None, 102: None}
+
+
+def test_asof_join_equal_ts_matches_and_inner(spark):
+    from big_data_processing_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, 100), (2, t0, 101)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 5.0)], "k long, ts timestamp, quote double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload_cols=["quote"], how="inner",
+    )
+    rows = out.collect()
+    assert [(r.lid, r.asof_quote) for r in rows] == [(100, 5.0)]
+
+
+def test_cosine_near_dup_pairs(spark):
+    from big_data_processing_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.01]),   # ~parallel to 1 → near-dup
+            (3, 0, [0.0, 1.0]),    # orthogonal
+            (4, 1, [1.0, 0.0]),    # other block: never paired with 1
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = cosine_near_dup_pairs(df, ["label"], threshold=0.95)
+    assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
