@@ -27,10 +27,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_processing_spark.functions.text import (
-    char_ngrams_of_norm,
+    char_ngram_hashes_of_norm,
     md5_fingerprint,
     normalize_text,
 )
+
+from big_data_processing_spark.partitioning import spread as _spread
 
 # Mersenne prime 2^31 - 1: modular universal-hash family for MinHash.
 _MERSENNE = (1 << 31) - 1
@@ -79,12 +81,17 @@ def minhash_signatures(
     trees). Docs with no shingles drop out (they have no near-dup
     semantics)."""
     hashed = (
-        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("nrm"))
+        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("nrm")
+        )
         .select(
             F.col(id_col),
-            F.explode(char_ngrams_of_norm(F.col("nrm"), shingle_n)).alias("s"),
+            F.explode(
+                char_ngram_hashes_of_norm(F.col("nrm"), shingle_n)
+            ).alias("g"),
         )
-        .select(id_col, F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h"))
+        .select(id_col, F.pmod(F.col("g"), F.lit(_MERSENNE)).alias("h"))
     )
     aggs = [
         F.min((F.col("h") * _A[i] + _B[i]) % _MERSENNE).alias(f"m{i}")
@@ -140,12 +147,15 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    shingled = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("nrm")
-    ).select(
-        F.col(id_col), char_ngrams_of_norm(F.col("nrm"), shingle_n).alias("sh")
+    shingled = (
+        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), normalize_text(F.col(text_col)).alias("nrm"))
+        .select(
+            F.col(id_col),
+            char_ngram_hashes_of_norm(F.col("nrm"), shingle_n).alias("sh"),
+        )
     )
-    pairs = cand.join(
+    pairs = _spread(cand, "id_a", "id_b").join(
         shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
         on="id_a",
     ).join(
@@ -171,8 +181,10 @@ def simhash64_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     aggregation keeps the shuffle at one 64-int row per doc per
     partition."""
     token = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t")
-    hashed = df.select(F.col(id_col), token).select(
-        id_col, F.xxhash64("t").alias("h")
+    hashed = (
+        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), token)
+        .select(id_col, F.xxhash64("t").alias("h"))
     )
     votes = [
         F.sum(
@@ -251,28 +263,68 @@ def ngram_jaccard_pairs(
     Blocking keeps the self-join from being quadratic: pairs are
     generated only within blocks, which is how pairwise dedup stays
     feasible at corpus scale."""
-    base = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        normalize_text(F.col(text_col)).alias("nrm"),
-    ).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        char_ngrams_of_norm(F.col("nrm"), n).alias("grams"),
+    base = (
+        _spread(
+            df.select(
+                F.col(id_col), *[F.col(c) for c in block_cols],
+                F.col(text_col),
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            normalize_text(F.col(text_col)).alias("nrm"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            char_ngram_hashes_of_norm(F.col("nrm"), n).alias("grams"),
+        )
     )
-    left = base.select(
-        *block_cols, F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")
+    # Candidate pairs are generated from (block, id, size) ONLY — the
+    # gram arrays stay out of the block self-join, so the join
+    # shuffles ids, not payloads. Size prefilter: |a∩b| ≤ min(|a|,|b|)
+    # and |a∪b| ≥ max(|a|,|b|), so jaccard ≤ min/max — pairs failing
+    # min/max ≥ t are dropped before any set work, zero recall loss.
+    sizes = base.select(
+        *block_cols, F.col(id_col), F.size("grams").alias("sz")
     )
-    right = base.select(
-        *block_cols, F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")
+    left = sizes.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    right = sizes.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    size_ok = (
+        F.least("sz_a", "sz_b").cast("double")
+        >= F.greatest("sz_a", "sz_b") * F.lit(threshold)
+    )
+    cand = (
+        left.join(right, on=block_cols)
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .select("id_a", "id_b")
+    )
+    # Re-attach arrays only for surviving candidates; the explicit
+    # repartition spreads the per-pair set work across all cores
+    # (AQE would otherwise coalesce these tiny-byte partitions).
+    arrays = base.select(F.col(id_col), F.col("grams"))
+    pairs = _spread(cand, "id_a", "id_b").join(
+        arrays.select(
+            F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")
+        ),
+        on="id_a",
+    ).join(
+        arrays.select(
+            F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")
+        ),
+        on="id_b",
     )
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size(F.array_union("g_a", "g_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        left.join(right, on=block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

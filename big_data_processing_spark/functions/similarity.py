@@ -22,10 +22,13 @@ Scale notes
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_processing_spark.operators.windows import topk_per_group
+from big_data_processing_spark.partitioning import spread
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -60,7 +63,9 @@ def brute_force_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    # Per-row cost is |queries|·dim multiply-adds — partition by
+    # cores, not input bytes (the corpus file may be one split).
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -80,21 +85,28 @@ def brute_force_cosine_topk(
     ).select("query_id", id_col, "cos", "rank")
 
 
+def _plane_sign(p: int, d: int) -> float:
+    """Deterministic ±1 hyperplane component from md5(plane, dim) —
+    reproducible everywhere with no stored model."""
+    digest = hashlib.md5(f"plane-{p}-{d}".encode()).digest()
+    return 1.0 if digest[0] % 2 == 0 else -1.0
+
+
 def hyperplane_signature(
     vec: Column, dim: int, num_planes: int = 8
 ) -> Column:
     """Random-hyperplane LSH signature: bit i = sign of <v, h_i>
-    where h_i is a deterministic pseudo-random ±1 hyperplane derived
-    from xxhash64(plane, component) — reproducible with no stored
-    model."""
+    where h_i is a deterministic pseudo-random ±1 hyperplane.
+
+    The plane components are computed driver-side and emitted as
+    array LITERALS: deriving them with in-plan hash expressions
+    measured seconds of analyzer/codegen time at num_planes·dim
+    nodes, all spent folding constants the driver can just supply."""
     bits = []
     for p in range(num_planes):
-        signs = F.array(*[
-            F.when(
-                F.xxhash64(F.lit(f"plane-{p}-{d}")) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            for d in range(dim)
-        ])
+        signs = F.array(
+            *[F.lit(_plane_sign(p, d)) for d in range(dim)]
+        )
         proj = F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
@@ -124,7 +136,9 @@ def lsh_cosine_topk(
     rank within candidates. Trades recall for a bucket equi-join
     instead of a full cross product."""
     sig = F.col(vec_col)
-    c = corpus.select(
+    # Signature math is CPU-dense (num_planes folds over dim-length
+    # arrays per row) — spread it over all cores, not input splits.
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_signature(sig, dim, num_planes).alias("bucket"),
@@ -170,23 +184,30 @@ def cosine_near_dup_pairs(
     embedding-based dedup of a training set. For unblocked corpora,
     feed ``hyperplane_signature`` buckets as the block column.
     """
-    base = df.select(
-        *block_cols, F.col(id_col), F.col(vec_col)
+    base = df.select(*block_cols, F.col(id_col), F.col(vec_col))
+    # Candidates from (block, id) only — vectors stay out of the
+    # block self-join; the explicit spread parallelizes the per-pair
+    # vector math beyond the (few) block keys.
+    ids = base.select(*block_cols, F.col(id_col))
+    cand = (
+        ids.select(*block_cols, F.col(id_col).alias("id_a"))
+        .join(
+            ids.select(*block_cols, F.col(id_col).alias("id_b")),
+            on=block_cols,
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
-    left = base.select(
-        *block_cols,
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-    )
-    right = base.select(
-        *block_cols,
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
+    vecs = base.select(F.col(id_col), F.col(vec_col))
+    pairs = spread(cand, "id_a", "id_b").join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
+        on="id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
+        on="id_b",
     )
     return (
-        left.join(right, on=block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        pairs.withColumn(
             "cos", F.round(cosine(F.col("v_a"), F.col("v_b")), ndigits)
         )
         .filter(F.col("cos") >= threshold)

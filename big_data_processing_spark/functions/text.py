@@ -174,3 +174,24 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     regex runs once per row — the DataFrame helpers in
     functions/dedup.py do exactly that."""
     return char_ngrams_of_norm(normalize_text(col), n)
+
+
+def char_ngram_hashes_of_norm(norm: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of the character n-grams of an
+    ALREADY-normalized text column (``array<long>``).
+
+    The set-similarity operators (Jaccard intersect/union, MinHash)
+    only need set identity, not the gram strings themselves — and
+    ``array_intersect``/``array_union`` over primitive longs are far
+    cheaper than over strings, and an 8-byte hash shuffles narrower
+    than a (multi-byte) gram. Collisions change a similarity value
+    only if two distinct grams of the same document pair collide:
+    probability ~|grams|²/2⁶⁴ per document — negligible below ~10⁹
+    distinct grams per doc."""
+    count = F.greatest(F.length(norm) - (n - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(n))))
+    )

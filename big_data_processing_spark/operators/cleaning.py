@@ -65,11 +65,11 @@ def iqr_bounds(
     path uses (`:121-124`) — the right choice at 100 TB.
     """
     fn = "percentile" if exact else "percentile_approx"
+    # One percentile buffer for both quantiles (array form), not two.
     row = df.select(
-        F.expr(f"{fn}({column}, 0.25)").alias("q1"),
-        F.expr(f"{fn}({column}, 0.75)").alias("q3"),
+        F.expr(f"{fn}({column}, array(0.25, 0.75))").alias("q")
     ).first()
-    q1, q3 = float(row["q1"]), float(row["q3"])
+    q1, q3 = float(row["q"][0]), float(row["q"][1])
     iqr = q3 - q1
     return q1 - k * iqr, q3 + k * iqr
 

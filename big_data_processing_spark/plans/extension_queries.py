@@ -560,10 +560,16 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem")
-    return df.select(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q25"),
-        F.expr("percentile(l_extendedprice, 0.50)").alias("q50"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q75"),
+    # One sort buffer for all three quantiles (array form), not three.
+    q = df.select(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.50, 0.75))"
+        ).alias("q")
+    )
+    return q.select(
+        F.col("q")[0].alias("q25"),
+        F.col("q")[1].alias("q50"),
+        F.col("q")[2].alias("q75"),
     )
 
 
