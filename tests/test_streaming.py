@@ -42,3 +42,46 @@ def test_streaming_matches_batch_twin(spark):
 def test_streaming_is_incremental(spark):
     stream = read_event_stream(spark, SF0001, max_files_per_trigger=1)
     assert stream.isStreaming
+
+
+def test_stateful_sessionize_stream_matches_batch(spark):
+    """Closed sessions emitted by the applyInPandasWithState operator
+    equal the batch sessionize twin's non-final sessions."""
+    from big_data_processing_spark.operators.windows import sessionize
+    from big_data_processing_spark.sources.catalog import load_table
+    from big_data_processing_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    stream = read_event_stream(spark, SF0001)
+    sessions = sessionize_stream(stream, gap_minutes=30.0)
+    got = run_stream_to_memory(sessions, "sessions_smoke")
+
+    events = load_table(spark, SF0001, "events")
+    batch = sessionize(events, "user_id", "ts", 30.0, tiebreak=["event_id"])
+    agg = (
+        batch.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    # the stream withholds each user's final (still-open) session
+    last_per_user = {}
+    for r in agg:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_id > cur.session_id:
+            last_per_user[r.user_id] = r
+    expected_closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in agg
+        if last_per_user[r.user_id].session_id != r.session_id
+    }
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    }
+    assert emitted == expected_closed
+    assert len(emitted) > 0
