@@ -713,9 +713,14 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
+    from big_data_processing_spark.partitioning import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("content"),
+    media = spread(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        ),
+        "media_id",
     )
     return extract_image_features(media, dim=8).orderBy("media_id")
