@@ -724,3 +724,38 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
     )
     return extract_image_features(media, dim=8).orderBy("media_id")
+
+
+@register(
+    "events_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(k) AS INT) AS min_k,
+           CAST(max(k) AS INT) AS max_k,
+           round(avg(k), 6) AS avg_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured handling: JSON props column parsed JVM-side "
+    "with from_json (typed schema, no Python), then grouped stats",
+)
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

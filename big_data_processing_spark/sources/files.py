@@ -73,3 +73,34 @@ def write_csv(
     if target_partitions is not None:
         df = df.coalesce(target_partitions)
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table sink.
+
+    Both sides of a repeated equi-join written with the SAME
+    ``bucket_cols`` and ``num_buckets`` co-locate matching keys in
+    matching files — the join then runs with NO shuffle exchange on
+    either side (see tests/test_sources.py plan assertion). This is
+    the 100 TB answer to "we join these two facts every day":
+    pay the shuffle once at write time, never again at read time.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``
+    is required — plain ``.parquet(path)`` cannot record it); pass
+    ``path`` to keep the data files at an external location.
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -73,3 +73,27 @@ def test_jdbc_wrappers_build_without_db(spark):
     )
     writer = write_jdbc(df, "jdbc:postgresql://localhost/db", "t")
     assert reader is not None and writer is not None
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.sources.files import write_bucketed
+
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bkt_a", ["k"], 4, path=str(tmp_path / "a"))
+    write_bucketed(b, "bkt_b", ["k"], 4, path=str(tmp_path / "b"))
+    ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+    # hint away the broadcast these tiny fixtures would get — the
+    # bucketing claim under test is about the sort-merge path
+    joined = ta.hint("merge").join(tb.hint("merge"), on="k")
+    assert joined.count() == 500
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: sort-merge join with NO shuffle exchange
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
