@@ -213,3 +213,68 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def brute_force_cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    ndigits: int = 8,
+) -> DataFrame:
+    """BLAS path for high dimensions: the same exact top-k as
+    ``brute_force_cosine_topk``, scored by an Arrow-batched
+    ``mapInPandas`` kernel doing one numpy matmul per batch against
+    the (driver-collected, broadcast) query matrix.
+
+    Use when dim × |queries| makes the per-row JVM fold expression
+    the bottleneck (thousands of dims): one C-level GEMM per Arrow
+    batch replaces dim·|queries| interpreted expression nodes per
+    row. Each batch emits only its local top-k per query, so the
+    final global top-k window sees ≤ k·n_batches candidate rows per
+    query, not the whole corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = np.inf  # zero-norm query → all cosines 0
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    def kernel(batches):
+        ids_q, mat_q, norm_q = bq.value
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_ids = pdf[id_col].to_numpy()
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = np.inf
+            cos = (c_mat @ mat_q.T) / np.outer(c_norm, norm_q)
+            out: dict[str, list] = {"query_id": [], id_col: [], "cos": []}
+            for j, qid in enumerate(ids_q):
+                col = cos[:, j]
+                mask = c_ids != qid  # no self-matches
+                order = np.argsort(-col[mask])[:k]
+                sel_ids = c_ids[mask][order]
+                sel_cos = col[mask][order]
+                out["query_id"] += [qid] * len(sel_ids)
+                out[id_col] += list(sel_ids)
+                out["cos"] += list(np.round(sel_cos, ndigits))
+            yield pd.DataFrame(out)
+
+    scored = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+    local_topk = scored.mapInPandas(
+        kernel, schema=f"query_id long, {id_col} long, cos double"
+    )
+    return topk_per_group(
+        local_topk,
+        ["query_id"],
+        [F.col("cos").desc(), F.col(id_col)],
+        k,
+    ).select("query_id", id_col, "cos", "rank")

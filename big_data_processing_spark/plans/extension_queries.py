@@ -759,3 +759,21 @@ def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cosine_topk_blas",
+    None,  # numpy pairwise summation differs from the JVM fold in the
+    # last ulp → rows-only here; id/rank agreement with the
+    # oracle-checked JVM path is unit-tested (tests/test_similarity.py)
+    doc="Arrow-batched numpy GEMM cosine top-k (the high-dim path: one "
+    "BLAS matmul per batch, per-batch local top-k, global rank)",
+)
+def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        brute_force_cosine_topk_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_cosine_topk_pandas(emb, queries, k=5)

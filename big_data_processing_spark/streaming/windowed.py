@@ -40,7 +40,10 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream over the corpus directory's events table.
 
@@ -52,7 +55,7 @@ def read_event_stream(
     df = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -59,3 +59,27 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert all(r.query_id == 0 and r.vec_id != 0 for r in out)
     # approximate: results are a subset of the exact candidate set
     assert {r.vec_id for r in out} <= {1, 2, 3, 4}
+
+
+def test_blas_topk_agrees_with_jvm_topk(spark):
+    from big_data_processing_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        brute_force_cosine_topk_pandas,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    jvm = brute_force_cosine_topk(emb, queries, k=4).collect()
+    blas = brute_force_cosine_topk_pandas(emb, queries, k=4).collect()
+    # identical neighbor sets and ranks; cosine values agree to 1e-9
+    # (numpy pairwise summation vs sequential JVM fold may differ in
+    # the last ulp, which is why the BLAS path isn't oracle-hashed)
+    jvm_m = {(r.query_id, r["rank"]): (r.vec_id, r.cos) for r in jvm}
+    blas_m = {(r.query_id, r["rank"]): (r.vec_id, r.cos) for r in blas}
+    assert jvm_m.keys() == blas_m.keys()
+    for key, (vid, cos) in jvm_m.items():
+        bvid, bcos = blas_m[key]
+        assert bvid == vid
+        assert abs(bcos - cos) < 1e-9

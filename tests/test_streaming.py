@@ -85,3 +85,58 @@ def test_stateful_sessionize_stream_matches_batch(spark):
     }
     assert emitted == expected_closed
     assert len(emitted) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Events arriving behind the watermark are dropped; their
+    already-finalizable window never reflects them."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ns(h, m=0):
+        return int(
+            pd.Timestamp(2024, 1, 1, h, m).value
+        )  # nanos since epoch, matches EVENTS_STREAM_SCHEMA
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # batch 1: on-time events 10:00–12:59 → watermark → 10:59
+    # batch 2: 13:30 → watermark → 11:30
+    # batch 3: LATE event at 08:00, behind the committed watermark.
+    # (Three batches because Spark filters late rows against the
+    # PREVIOUS batch's watermark — a row arriving in the same batch
+    # that first advances past it is still admitted.)
+    write(tmp_path / "f1.parquet", [(1, ns(10, 5)), (2, ns(12, 59))])
+    write(tmp_path / "f2.parquet", [(4, ns(13, 30))])
+    write(tmp_path / "f3.parquet", [(3, ns(8, 0))])
+    # file-source batches are ordered by modification time — pin the
+    # order explicitly (sub-second writes can tie)
+    now = _time.time()
+    for i, name in enumerate(["f1", "f2", "f3"]):
+        t = now - 180 + i * 60
+        os.utime(tmp_path / f"{name}.parquet", times=(t, t))
+
+    stream = read_event_stream(spark, str(tmp_path), glob="*.parquet")
+    agg = hourly_event_counts(stream, watermark="2 hours")
+    got = run_stream_to_memory(agg, "late_smoke", output_mode="append")
+    rows = {r.hour.hour: r.n_events for r in got.collect()}
+
+    # the 10:00 window finalized (end 11:00 ≤ final watermark 11:30)
+    assert rows.get(10) == 1
+    # the late 08:00 event was dropped — its window never appears
+    assert 8 not in rows
