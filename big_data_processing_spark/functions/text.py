@@ -35,8 +35,12 @@ def normalize_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization of normalized text → array<string>."""
-    return F.split(normalize_text(col), " ")
+    """Whitespace tokenization of normalized text → array<string>.
+
+    Empty tokens are removed — ``split("", " ")`` yields ``[""]``,
+    which would count whitespace-only documents as having one token
+    (found by the hypothesis property suite)."""
+    return F.array_remove(F.split(normalize_text(col), " "), "")
 
 
 def token_count(col: Column) -> Column:

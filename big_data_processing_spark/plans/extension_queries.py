@@ -435,7 +435,8 @@ _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     f"""
     WITH t AS (
       SELECT doc_id, text, {NORM_SQL} AS norm,
-             string_split({NORM_SQL}, ' ') AS toks
+             list_filter(string_split({NORM_SQL}, ' '),
+                         t -> t != '') AS toks
       FROM documents
     )
     SELECT doc_id,

@@ -27,7 +27,8 @@ def test_normalize_text(spark):
 
 def test_token_count(spark):
     assert _one(spark, "a b  c", token_count) == 3
-    assert _one(spark, "", token_count) == 1  # split('') -> ['']
+    assert _one(spark, "", token_count) == 0  # empty tokens removed
+    assert _one(spark, "   \n ", token_count) == 0
 
 
 def test_char_ngrams(spark):
