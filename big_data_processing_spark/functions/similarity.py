@@ -278,3 +278,131 @@ def brute_force_cosine_topk_pandas(
         [F.col("cos").desc(), F.col(id_col)],
         k,
     ).select("query_id", id_col, "cos", "rank")
+
+
+def _train_centroids_kmeans(
+    vecs, n_centroids: int, iters: int = 5
+):
+    """Driver-side numpy k-means on a (seeded) sample — the classic
+    IVF training recipe: quantizer quality needs only a sample, so
+    training cost is independent of corpus size."""
+    import numpy as np
+
+    mat = np.asarray(vecs, dtype=np.float64)
+    # deterministic init: first k distinct rows
+    centroids = mat[:n_centroids].copy()
+    for _ in range(iters):
+        norm_c = np.linalg.norm(centroids, axis=1)
+        norm_c[norm_c == 0] = np.inf
+        norm_m = np.linalg.norm(mat, axis=1)
+        norm_m[norm_m == 0] = np.inf
+        sim = (mat @ centroids.T) / np.outer(norm_m, norm_c)
+        assign = np.argmax(sim, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_limit: int = 4096,
+    ndigits: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search — the
+    other classic ANN scale path next to LSH:
+
+    1. train a coarse quantizer (k-means centroids) on a bounded,
+       deterministic SAMPLE of the corpus (driver-side numpy — IVF
+       training never needs the full corpus);
+    2. assign every corpus vector to its nearest centroid with an
+       Arrow-batched kernel (one GEMM per batch, distributed);
+    3. probe each query's ``n_probe`` nearest centroid lists only —
+       an equi-join on the centroid id replaces the full cross
+       product, cutting scored candidates to ~n_probe/n_centroids
+       of the corpus.
+
+    Recall rises with ``n_probe`` (== exact when n_probe =
+    n_centroids). Returns (query_id, vec_id, cos, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    train = [
+        r[0]
+        for r in corpus.select(vec_col)
+        .orderBy(id_col)
+        .limit(train_limit)
+        .collect()
+    ]
+    centroids = _train_centroids_kmeans(train, n_centroids)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    def assign_kernel(batches):
+        cent = np.asarray(bc.value)
+        norm_c = np.linalg.norm(cent, axis=1)
+        norm_c[norm_c == 0] = np.inf
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norm_m = np.linalg.norm(mat, axis=1)
+            norm_m[norm_m == 0] = np.inf
+            sim = (mat @ cent.T) / np.outer(norm_m, norm_c)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "centroid": np.argmax(sim, axis=1).astype("int32"),
+                }
+            )
+
+    def probe_kernel(batches):
+        cent = np.asarray(bc.value)
+        norm_c = np.linalg.norm(cent, axis=1)
+        norm_c[norm_c == 0] = np.inf
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norm_m = np.linalg.norm(mat, axis=1)
+            norm_m[norm_m == 0] = np.inf
+            sim = (mat @ cent.T) / np.outer(norm_m, norm_c)
+            probes = np.argsort(-sim, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].repeat(n_probe),
+                    "q_vec": pdf[vec_col].repeat(n_probe),
+                    "centroid": probes.reshape(-1).astype("int32"),
+                }
+            )
+
+    schema_c = f"{id_col} long, {vec_col} array<float>, centroid int"
+    assigned = spread(corpus.select(id_col, vec_col), id_col).mapInPandas(
+        assign_kernel, schema=schema_c
+    )
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        probe_kernel, schema="query_id long, q_vec array<float>, centroid int"
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), on="centroid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), ndigits).alias(
+                "cos"
+            ),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos").desc(), F.col(id_col)],
+        k,
+    ).select("query_id", id_col, "cos", "rank")

@@ -778,3 +778,21 @@ def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return brute_force_cosine_topk_pandas(emb, queries, k=5)
+
+
+@register(
+    "cosine_topk_ivf",
+    None,  # approximate (probe-restricted) → rows-only check; full-probe
+    # == exact is unit-tested (tests/test_similarity.py)
+    doc="IVF approximate cosine top-k: sample-trained k-means coarse "
+    "quantizer, Arrow-batched distributed assignment, n-probe "
+    "candidate lists via centroid equi-join",
+)
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_cosine_topk(emb, queries, k=5, n_centroids=16, n_probe=4)

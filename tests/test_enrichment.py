@@ -51,3 +51,24 @@ def test_sink_projection_rename_and_cast(spark):
     assert out.columns == ["id", "val", "name"]
     types = dict(out.dtypes)
     assert types == {"id": "int", "val": "float", "name": "string"}
+
+
+def test_reporting_views(spark):
+    from big_data_processing_spark.plans.parity_queries import clean, enrich
+    from big_data_processing_spark.plans.views import create_reporting_views
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    processed = enrich(clean(load_table(spark, SF0001, "lineitem")))
+    create_reporting_views(spark, processed)
+    cat = spark.sql(
+        "SELECT * FROM category_summary ORDER BY qty_category"
+    ).collect()
+    ven = spark.sql(
+        "SELECT * FROM vendor_summary ORDER BY l_returnflag"
+    ).collect()
+    assert {r.qty_category for r in cat} <= {
+        "short", "medium", "long", "very_long"
+    }
+    assert len(ven) == 3  # A/N/R return flags
+    assert sum(r.total_trips for r in ven) == processed.count()

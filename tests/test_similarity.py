@@ -83,3 +83,53 @@ def test_blas_topk_agrees_with_jvm_topk(spark):
         bvid, bcos = blas_m[key]
         assert bvid == vid
         assert abs(bcos - cos) < 1e-9
+
+
+def test_ivf_topk_structure_and_recall(spark):
+    from big_data_processing_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    exact = brute_force_cosine_topk(emb, queries, k=3).collect()
+    ivf = ivf_cosine_topk(
+        emb, queries, k=3, n_centroids=8, n_probe=4
+    ).collect()
+
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert all(r.vec_id != qid for r in rows)
+
+    # probing half the lists on clustered synthetic data should
+    # recover a meaningful share of the true neighbors
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    ivf_set = {(r.query_id, r.vec_id) for r in ivf}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.4, recall
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    from big_data_processing_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter("vec_id < 2")
+    exact = brute_force_cosine_topk(emb, queries, k=3).collect()
+    full = ivf_cosine_topk(
+        emb, queries, k=3, n_centroids=4, n_probe=4
+    ).collect()
+    assert {(r.query_id, r.vec_id, r["rank"]) for r in full} == {
+        (r.query_id, r.vec_id, r["rank"]) for r in exact
+    }

@@ -97,3 +97,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # co-located buckets: sort-merge join with NO shuffle exchange
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_fetch_url_file_scheme_and_skip(tmp_path):
+    from big_data_processing_spark.sources.http import fetch_url, fetch_urls
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"x" * 200_000)  # > one chunk
+    dest = tmp_path / "out" / "src.bin"
+    got = fetch_url(src.as_uri(), str(dest))
+    assert got == str(dest)
+    assert dest.read_bytes() == src.read_bytes()
+
+    # skip-if-exists: a changed source must NOT re-download
+    src.write_bytes(b"y")
+    fetch_url(src.as_uri(), str(dest))
+    assert dest.read_bytes() == b"x" * 200_000
+
+    multi = fetch_urls([src.as_uri()], str(tmp_path / "multi"))
+    assert multi == [str(tmp_path / "multi" / "src.bin")]
