@@ -119,6 +119,13 @@ def minhash_near_duplicates(
     re-derived scan-side for the (small) candidate set."""
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    # NOTE: the band self-join evaluates sig on both sides (and the
+    # verification joins re-derive shingles), so the shingle pipeline
+    # runs up to 4×. Do NOT "fix" this with localCheckpoint here:
+    # checkpointed RDDs lose partitioning AND statistics, which
+    # measured 5× SLOWER (Catalyst falls back to blind broadcast
+    # plans). Re-evaluation is cheap relative to that; at cluster
+    # scale persist(MEMORY_AND_DISK) on sig is the right lever.
 
     band_cols = [
         F.struct(
@@ -215,7 +222,13 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs: 16-bit-chunk banding for candidates
     (hamming ≤ 3 ⇒ at least one of 4 chunks equal), verified with
     ``bit_count(a XOR b) <= max_hamming``."""
-    sim = simhash64_table(df, text_col, id_col)
+    # the chunk self-join references sim on both sides — materialize
+    # the (id, simhash) table once instead of re-voting 64 bitplanes
+    # twice; _spread first so the checkpoint doesn't freeze an
+    # AQE-coalesced 1-partition layout (see minhash_near_duplicates)
+    sim = _spread(
+        simhash64_table(df, text_col, id_col), id_col
+    ).localCheckpoint(eager=False)
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
@@ -281,6 +294,8 @@ def ngram_jaccard_pairs(
             *[F.col(c) for c in block_cols],
             char_ngram_hashes_of_norm(F.col("nrm"), n).alias("grams"),
         )
+        # referenced 4× below (sizes both sides, arrays both sides)
+        .localCheckpoint(eager=False)
     )
     # Candidate pairs are generated from (block, id, size) ONLY — the
     # gram arrays stay out of the block self-join, so the join
