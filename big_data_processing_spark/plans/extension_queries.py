@@ -796,3 +796,94 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_cosine_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "building_customers_with_orders",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+    doc="Set operation INTERSECT (distinct semantics) — planned as a "
+    "left-semi aggregate join, no full materialization of either side",
+)
+def q_building_customers_with_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orderers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(orderers).orderBy("c_custkey")
+
+
+@register(
+    "events_by_dow",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="Date-function aggregate: day-of-week histogram (Spark "
+    "dayofweek is 1=Sunday; the oracle shifts DuckDB's 0=Sunday)",
+)
+def q_events_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "daily_event_type_pivot",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="Pivot: daily counts with event_type fanned into columns. The "
+    "explicit values list keeps it one pass (unlisted pivot would "
+    "need a distinct-values pre-job)",
+)
+def q_daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+        .orderBy("day")
+    )
+    return out
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch estimate is engine-specific → rows-only check;
+    # the exact twin is covered by user_sessions' per-user grouping
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB cardinality "
+    "path — bounded-memory sketch, map-side combinable, no shuffle "
+    "of raw values (exact countDistinct shuffles every distinct key)",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    ).orderBy("event_type")

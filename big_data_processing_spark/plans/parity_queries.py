@@ -491,3 +491,33 @@ def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    doc="CUBE companion to rollup_flag_status: all 2^k grouping-set "
+    "combinations in one aggregation pass (df.cube + grouping_id)",
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _lineitem(spark, sf_dir)
+    return (
+        df.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n", "avg_qty"
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
