@@ -199,3 +199,32 @@ def char_ngram_hashes_of_norm(norm: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(n))))
     )
+
+
+def winnowing_fingerprints(
+    col: Column, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing fingerprints (rolling-hash document sketch, the
+    MOSS scheme): hash every k-gram, then keep the MINIMUM hash of
+    each sliding window of ``window`` consecutive k-gram hashes,
+    deduplicated (array<long>).
+
+    Guarantees: any shared substring of length ≥ k + window - 1
+    between two documents yields at least one shared fingerprint —
+    the basis for plagiarism/near-copy detection at corpus scale
+    with a sketch ~|doc|/window long. All JVM-side expressions."""
+    norm = normalize_text(col)
+    count = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # ordered k-gram hashes (NOT deduped — window positions matter)
+    hashes = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    widx = F.when(n_windows > 0, F.sequence(F.lit(0), n_windows - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mins = F.transform(
+        widx, lambda w: F.array_min(F.slice(hashes, w + 1, window))
+    )
+    return F.array_sort(F.array_distinct(mins))

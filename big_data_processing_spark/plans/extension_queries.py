@@ -887,3 +887,29 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     ).orderBy("event_type")
+
+
+@register(
+    "doc_winnow_sketch",
+    None,  # xxhash64 basis is engine-specific → rows-only; the
+    # windowed-minima model is unit-tested (tests/test_text.py)
+    doc="Winnowing (rolling-hash) document sketch: minima of sliding "
+    "windows over k-gram hashes — any shared substring of length "
+    ">= k+window-1 guarantees a shared fingerprint",
+)
+def q_doc_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    return docs.select(
+        "doc_id",
+        winnowing_fingerprints(F.col("text"), k=5, window=4).alias(
+            "fingerprints"
+        ),
+    )

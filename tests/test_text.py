@@ -86,3 +86,56 @@ def test_char_jaccard_matches_duckdb_semantics(spark):
         char_jaccard(F.col("a"), F.col("b")).alias("j")
     ).collect()[0].j
     assert abs(got - expected) < 1e-12
+
+
+def test_winnowing_fingerprints_model(spark):
+    """Fingerprints equal the hand-computed windowed-minima model."""
+    from big_data_processing_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    text = "abcdefghij"
+    k, w = 3, 4
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(
+            winnowing_fingerprints(F.col("t"), k, w).alias("fp"),
+            F.array(*[
+                F.xxhash64(F.lit(text[i : i + k]))
+                for i in range(len(text) - k + 1)
+            ]).alias("h"),
+        )
+        .first()
+    )
+    hashes = row.h
+    expect = sorted(
+        {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+    )
+    assert row.fp == expect
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k+window-1 share >=1
+    fingerprint; short texts sketch to empty."""
+    from big_data_processing_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps"
+    rows = (
+        spark.createDataFrame(
+            [
+                (1, "AAA " + shared + " BBB"),
+                (2, "xyz " + shared + " qqq"),
+                (3, "completely different words here"),
+                (4, "hi"),
+            ],
+            "id long, t string",
+        )
+        .select("id", winnowing_fingerprints(F.col("t"), 5, 4).alias("fp"))
+        .collect()
+    )
+    fp = {r.id: set(r.fp) for r in rows}
+    assert fp[1] & fp[2]
+    assert not (fp[1] & fp[3] and fp[2] & fp[3])  # unrelated doc
+    assert fp[4] == set()
