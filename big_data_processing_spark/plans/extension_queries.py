@@ -528,11 +528,37 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split({NORM_SQL}, ' '),
+                         t -> t != '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN list_aggregate(list_transform(toks,
+                       t -> CAST(len(t) AS DOUBLE)), 'sum') / len(toks)
+                  ELSE 0.0 END AS avg_len,
+             CASE WHEN len(text) > 0
+                  THEN CAST(len(text) - len(regexp_replace(text,
+                       '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / len(text)
+                  ELSE 0.0 END AS punct
+      FROM t
+    )
+    SELECT doc_id,
+           round(least(n_tok / 20.0, 1.0) * 0.5
+                 + (CASE WHEN avg_len >= 2 AND avg_len <= 12
+                         THEN 1.0 ELSE 0.5 END) * 0.3
+                 + (1.0 - least(punct * 2.0, 1.0)) * 0.2, 4) AS quality
+    FROM m
+"""
+
+
 @register(
     "doc_quality",
-    None,  # composite heuristic uses nested least/when — checked by unit
-    # tests; rows-only here (SQL expressible but duplicated logic adds
-    # no oracle value beyond text_stats' verified components)
+    _QUALITY_ORACLE,
     doc="Composite document quality score in [0,1] from length/shape/"
     "punctuation heuristics",
 )
