@@ -201,6 +201,34 @@ def char_ngram_hashes_of_norm(norm: Column, n: int = 3) -> Column:
     )
 
 
+def kgram_hashes_ordered(norm: Column, k: int = 5) -> Column:
+    """POSITIONAL (non-deduped) k-gram hashes of an already-
+    normalized text column — window order matters for winnowing."""
+    count = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+
+
+def winnow_of_hashes(hashes: Column, window: int = 4) -> Column:
+    """Winnowing sketch of a MATERIALIZED ordered k-gram hash array:
+    minimum of each sliding window, deduplicated + sorted.
+
+    ``hashes`` must be a bound column reference, not the hash
+    expression itself — an expression inlined here re-executes per
+    window element, turning the sketch O(n²) per document (measured
+    ~40× slower at corpus scale; same trap as ``char_ngrams``)."""
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    widx = F.when(n_windows > 0, F.sequence(F.lit(0), n_windows - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mins = F.transform(
+        widx, lambda w: F.array_min(F.slice(hashes, w + 1, window))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def winnowing_fingerprints(
     col: Column, k: int = 5, window: int = 4
 ) -> Column:
@@ -212,19 +240,13 @@ def winnowing_fingerprints(
     Guarantees: any shared substring of length ≥ k + window - 1
     between two documents yields at least one shared fingerprint —
     the basis for plagiarism/near-copy detection at corpus scale
-    with a sketch ~|doc|/window long. All JVM-side expressions."""
-    norm = normalize_text(col)
-    count = F.greatest(F.length(norm) - (k - 1), F.lit(0))
-    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
+    with a sketch ~|doc|/window long. All JVM-side expressions.
+
+    PERF: convenience form — inlines the hash expression into the
+    window lambda, which re-executes per window. Hot paths MUST
+    materialize in two steps:
+    ``select(kgram_hashes_ordered(norm).alias("h"))`` then
+    ``select(winnow_of_hashes(F.col("h")))``."""
+    return winnow_of_hashes(
+        kgram_hashes_ordered(normalize_text(col), k), window
     )
-    # ordered k-gram hashes (NOT deduped — window positions matter)
-    hashes = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
-    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
-    widx = F.when(n_windows > 0, F.sequence(F.lit(0), n_windows - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    mins = F.transform(
-        widx, lambda w: F.array_min(F.slice(hashes, w + 1, window))
-    )
-    return F.array_sort(F.array_distinct(mins))

@@ -925,7 +925,9 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.functions.text import (
-        winnowing_fingerprints,
+        kgram_hashes_ordered,
+        normalize_text,
+        winnow_of_hashes,
     )
     from big_data_processing_spark.partitioning import spread
 
@@ -933,9 +935,12 @@ def q_doc_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
     )
-    return docs.select(
-        "doc_id",
-        winnowing_fingerprints(F.col("text"), k=5, window=4).alias(
-            "fingerprints"
-        ),
+    # materialize norm, then hashes, so neither expression re-executes
+    # inside the window lambda (O(n^2)-per-doc trap otherwise)
+    return (
+        docs.select("doc_id", normalize_text(F.col("text")).alias("nrm"))
+        .select("doc_id", kgram_hashes_ordered(F.col("nrm"), 5).alias("h"))
+        .select(
+            "doc_id", winnow_of_hashes(F.col("h"), 4).alias("fingerprints")
+        )
     )
