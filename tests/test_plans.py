@@ -71,3 +71,54 @@ def test_quality_metrics_single_scan(spark):
     # one scan for all null/violation counts + one for the exact
     # distinct (duplicate detection) — NOT one job per column
     assert _scan_count(plan) == 2, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the mechanism SCALE.md leans on for
+    hot keys — demonstrated with thresholds lowered to test scale:
+    the executed plan must mark the sort-merge join skew-handled."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        # skew detection reads COMPRESSED map-output sizes — the
+        # payload must be incompressible (md5) or a hot key's 90k
+        # near-identical rows LZ4 down to nothing and no skew registers
+        skewed = spark.range(120_000).select(
+            F.when(F.col("id") % 4 != 0, 0)  # 75% on key 0
+            .otherwise(F.col("id") % 40)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        uniform = spark.range(40).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("w")
+        )
+        joined = skewed.hint("merge").join(uniform.hint("merge"), on="k")
+        # collect() (not count()) — the skew split must appear in THIS
+        # DataFrame's executed plan; count() builds its own
+        assert len(joined.collect()) == 120_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
