@@ -7,10 +7,9 @@ same batching executor-side and in parallel — each partition opens
 its own connection and writes ``batchsize`` rows per round trip, so
 throughput scales with partitions instead of being driver-bound.
 
-No database (or JDBC driver jar) ships in this environment, so
-these are thin, testable wrappers: they build the reader/writer
-with the right options; actually calling ``.load()``/``.save()``
-requires the driver jar on the classpath
+Tested end-to-end against the embedded Derby engine that ships in
+Spark's jars (tests/test_sources.py); for PostgreSQL/MySQL add the
+driver jar to the classpath
 (``spark.jars.packages=org.postgresql:postgresql:...``).
 """
 
