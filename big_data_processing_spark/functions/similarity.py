@@ -85,18 +85,19 @@ def brute_force_cosine_topk(
     ).select("query_id", id_col, "cos", "rank")
 
 
-def _plane_sign(p: int, d: int) -> float:
-    """Deterministic ±1 hyperplane component from md5(plane, dim) —
-    reproducible everywhere with no stored model."""
-    digest = hashlib.md5(f"plane-{p}-{d}".encode()).digest()
+def _plane_sign(table: int, p: int, d: int) -> float:
+    """Deterministic ±1 hyperplane component from md5(table, plane,
+    dim) — reproducible everywhere with no stored model."""
+    digest = hashlib.md5(f"plane-{table}-{p}-{d}".encode()).digest()
     return 1.0 if digest[0] % 2 == 0 else -1.0
 
 
 def hyperplane_signature(
-    vec: Column, dim: int, num_planes: int = 8
+    vec: Column, dim: int, num_planes: int = 8, table: int = 0
 ) -> Column:
     """Random-hyperplane LSH signature: bit i = sign of <v, h_i>
-    where h_i is a deterministic pseudo-random ±1 hyperplane.
+    where h_i is a deterministic pseudo-random ±1 hyperplane
+    (distinct per ``table`` — the multi-table LSH family).
 
     The plane components are computed driver-side and emitted as
     array LITERALS: deriving them with in-plan hash expressions
@@ -105,7 +106,7 @@ def hyperplane_signature(
     bits = []
     for p in range(num_planes):
         signs = F.array(
-            *[F.lit(_plane_sign(p, d)) for d in range(dim)]
+            *[F.lit(_plane_sign(table, p, d)) for d in range(dim)]
         )
         proj = F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
@@ -121,6 +122,25 @@ def hyperplane_signature(
     return sig.cast("int")
 
 
+def lsh_buckets(
+    vec: Column, dim: int, num_planes: int, num_tables: int
+) -> Column:
+    """Array of (table, bucket) structs — one signature per hash
+    table. Multi-table LSH is what makes hyperplane bucketing usable
+    when neighbors are far from parallel: one table's collision
+    probability is cos-angle-dependent (~p^planes), but ANY-of-L
+    tables boosts recall to 1-(1-p^planes)^L at L× candidate cost."""
+    return F.array(*[
+        F.struct(
+            F.lit(t).alias("table"),
+            hyperplane_signature(vec, dim, num_planes, table=t).alias(
+                "bucket"
+            ),
+        )
+        for t in range(num_tables)
+    ])
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,36 +148,47 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 8,
     ndigits: int = 8,
 ) -> DataFrame:
     """Approximate top-k cosine: candidates restricted to vectors
-    sharing the query's hyperplane-LSH bucket, then exact cosine +
-    rank within candidates. Trades recall for a bucket equi-join
-    instead of a full cross product."""
+    sharing ANY of the query's ``num_tables`` hyperplane-LSH buckets,
+    then exact cosine + rank within candidates. Trades recall for a
+    bucket equi-join instead of a full cross product; tune
+    (num_planes, num_tables) for the recall/candidate-count point —
+    fewer planes = bigger buckets, more tables = more chances."""
     sig = F.col(vec_col)
-    # Signature math is CPU-dense (num_planes folds over dim-length
-    # arrays per row) — spread it over all cores, not input splits.
-    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_signature(sig, dim, num_planes).alias("bucket"),
+    # Signature math is CPU-dense (num_tables·num_planes folds over
+    # dim-length arrays per row) — spread over cores, not input splits.
+    c = (
+        spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                lsh_buckets(sig, dim, num_planes, num_tables)
+            ).alias("tb"),
+        )
+        .select(id_col, vec_col, "tb.table", "tb.bucket")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        hyperplane_signature(sig, dim, num_planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
+        F.explode(lsh_buckets(sig, dim, num_planes, num_tables)).alias("tb"),
+    ).select("query_id", "q_vec", "tb.table", "tb.bucket")
+    cand = (
+        c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            F.round(cosine(F.col("q_vec"), F.col(vec_col)), ndigits).alias(
-                "cos"
-            ),
-        )
+        # a pair colliding in several tables scores once, not L times
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), ndigits).alias(
+            "cos"
+        ),
     )
     return topk_per_group(
         scored,

@@ -420,7 +420,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_cosine_topk(emb, queries, dim=64, k=5, num_planes=6)
+    return lsh_cosine_topk(
+        emb, queries, dim=64, k=5, num_planes=4, num_tables=8
+    )
 
 
 # ---------------------------------------------------------------------------
