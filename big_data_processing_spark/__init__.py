@@ -20,5 +20,21 @@ scale. No pandas fallback, no driver-side loops in hot paths.
 
 from big_data_processing_spark.session import get_spark, stop_spark
 
-__all__ = ["get_spark", "stop_spark"]
+
+def run_pipeline(*args, **kwargs):
+    """Convenience re-export of :func:`pipeline.run_pipeline`
+    (lazy import keeps bare session bootstrap cheap)."""
+    from big_data_processing_spark.pipeline import run_pipeline as _rp
+
+    return _rp(*args, **kwargs)
+
+
+def queries():
+    """The named-query registry: {name: (spark, sf_dir) -> DataFrame}."""
+    from big_data_processing_spark.plans.registry import QUERIES
+
+    return dict(QUERIES)
+
+
+__all__ = ["get_spark", "stop_spark", "run_pipeline", "queries"]
 __version__ = "0.1.0"

@@ -27,3 +27,16 @@ def fixed_size_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     partitioning.
     """
     return df.orderBy(F.rand(seed)).limit(n)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): each key keeps
+    its own fraction — the standard class-balancing sample for
+    training sets. Keys absent from ``fractions`` are dropped.
+    One scan, no shuffle; executors filter rows by a seeded hash."""
+    return df.stat.sampleBy(strata_col, fractions, seed)

@@ -521,3 +521,43 @@ def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "completeness_report",
+    """
+    SELECT round((count(*) - sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END))
+                 * 100.0 / count(*), 2) AS l_quantity,
+           round((count(*) - sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END))
+                 * 100.0 / count(*), 2) AS l_extendedprice,
+           round((count(*) - sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END))
+                 * 100.0 / count(*), 2) AS l_returnflag
+    FROM lineitem
+    """,
+    doc="A8 per-column completeness %% in ONE pass (reference ran a "
+    "count() job per column, data_validator.py:122-125)",
+)
+def q_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.validation import completeness
+
+    df = _lineitem(spark, sf_dir).select(
+        "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    return completeness(df)
+
+
+@register(
+    "stratified_sample",
+    None,  # seeded per-stratum Bernoulli — engine-specific RNG stream
+    doc="SA-family extension: per-stratum sampleBy (class-balancing "
+    "sample for training sets); one scan, no shuffle",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = _lineitem(spark, sf_dir)
+    return stratified_sample(
+        df, "l_returnflag", {"A": 0.05, "N": 0.01, "R": 0.05}, seed=42
+    )

@@ -1,0 +1,72 @@
+"""Dataset maintenance utilities: small-file compaction and
+incremental dedup-append — the operational half of running a
+training-data lake at scale.
+
+Streaming ingestion and fine-grained partitioning both produce
+small-file sprawl; readers then pay per-file open/footer costs and
+schedulers per-split overhead. Compaction rewrites a dataset into
+size-targeted files. Incremental append keeps a sink exactly-once
+per key without rewriting history: only rows whose key is absent
+from the sink are appended (idempotent re-runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite ``src_path`` into ``dest_path`` with files sized
+    toward ``target_file_mb``. Returns the file count written.
+
+    File count = ceil(input_bytes / target). The repartition is a
+    round-robin exchange (even output sizes); for sort-clustered
+    reads use ``write_bucketed`` instead — compaction is about file
+    geometry, not layout."""
+    # driver-side listing via Hadoop FS — works for any scheme
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, int(total / (target_file_mb * 1024 * 1024)) + (
+        1 if total % (target_file_mb * 1024 * 1024) else 0
+    ) - (1 if total and total % (target_file_mb * 1024 * 1024) == 0 else 0))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dest_path)
+    return n_files
+
+
+def append_new_by_key(
+    df: DataFrame,
+    sink_path: str,
+    key_col: str,
+) -> int:
+    """Append only rows whose ``key_col`` is not already in the
+    parquet sink (exactly-once per key; idempotent re-runs).
+
+    The anti-join reads ONLY the key column of the sink (column
+    pruning) — at 100 TB the existing-keys scan is a single narrow
+    column, and for repeated loads a bloom filter or bucketed sink
+    on the key removes even that. Returns the number of appended
+    rows (an action — the count drives the write decision)."""
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(sink_path).select(key_col)
+    except Exception:  # first load — empty sink
+        df.write.mode("overwrite").parquet(sink_path)
+        return df.count()
+    # strategy left to Catalyst+AQE: a small sink's keys broadcast,
+    # a huge sink's keys sort-merge — forcing broadcast here would
+    # OOM the driver once the sink outgrows memory
+    fresh = df.join(existing.distinct(), on=key_col, how="left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(sink_path)
+    return n

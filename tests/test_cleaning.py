@@ -62,3 +62,22 @@ def test_iqr_approx_close_to_exact(spark):
     lo_e, hi_e = iqr_bounds(df, "x", exact=True)
     lo_a, hi_a = iqr_bounds(df, "x", exact=False)
     assert abs(lo_e - lo_a) < 20 and abs(hi_e - hi_a) < 20
+
+
+def test_stratified_sample_fractions(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 2 == 0).cast("string").alias("s"), "id"
+    )
+    out = stratified_sample(
+        df, "s", {"true": 0.5, "false": 0.1}, seed=7
+    )
+    counts = {r.s: r.n for r in out.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["true"] / 10_000 - 0.5) < 0.05
+    assert abs(counts["false"] / 10_000 - 0.1) < 0.05

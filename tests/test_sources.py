@@ -149,3 +149,45 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
         spark, url, '(SELECT "k", "v" FROM t1 WHERE "k" < 10) q'
     ).load()
     assert sub.count() == 10 and set(sub.columns) == {"k", "v"}
+
+
+def test_compact_parquet(spark, tmp_path):
+    from big_data_processing_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "sprawl")
+    # 40 tiny files
+    spark.range(40_000).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 40
+    dest = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dest, target_file_mb=128)
+    assert n == 1  # well under one target file of input
+    assert len(glob.glob(dest + "/*.parquet")) == 1
+    assert spark.read.parquet(dest).count() == 40_000
+
+
+def test_append_new_by_key_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.sources.maintenance import (
+        append_new_by_key,
+    )
+
+    sink = str(tmp_path / "sink")
+    batch1 = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    assert append_new_by_key(batch1, sink, "k") == 100
+    # re-run of the same batch appends nothing (idempotent)
+    assert append_new_by_key(batch1, sink, "k") == 0
+    # overlapping batch appends only the new keys
+    batch2 = spark.range(50, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    assert append_new_by_key(batch2, sink, "k") == 50
+    final = spark.read.parquet(sink)
+    assert final.count() == 150
+    assert final.select("k").distinct().count() == 150
