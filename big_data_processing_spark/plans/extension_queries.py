@@ -946,3 +946,38 @@ def q_doc_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", winnow_of_hashes(F.col("h"), 4).alias("fingerprints")
         )
     )
+
+
+@register(
+    "lineitem_measures_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    WHERE l_orderkey < 100
+    """,
+    doc="Unpivot/melt (wide→long reshape, inverse of pivot): one scan "
+    "with an in-row expand, NOT the oracle's 3-scan UNION ALL",
+)
+def q_lineitem_measures_unpivot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 100
+    )
+    return df.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "measure",
+        "value",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.round("value", 2).alias("value"),
+    )
