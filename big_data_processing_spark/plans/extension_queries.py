@@ -981,3 +981,86 @@ def q_lineitem_measures_unpivot(
         "l_orderkey", "l_linenumber", "measure",
         F.round("value", 2).alias("value"),
     )
+
+
+@register(
+    "events_sliding_2h",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, value
+      FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events
+    )
+    SELECT hour_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Sliding event-time window (2h duration, 1h slide): each event "
+    "lands in duration/slide windows via ONE in-row expansion — the "
+    "oracle needs a 2-scan UNION ALL for the same semantics",
+)
+def q_events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "user_session_stats",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(epoch(ts)) AS session_start_s,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start_s
+    """,
+    doc="Native session windows (F.session_window, 30-min gap) with "
+    "per-session aggregates — the same operator Structured Streaming "
+    "runs stateful. NOTE: session_window treats a gap of EXACTLY the "
+    "timeout as a new session (half-open interval), hence >= in the "
+    "oracle vs the > of operators/windows.sessionize",
+)
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("double").alias("session_start_s"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start_s")
+    )

@@ -103,3 +103,38 @@ def run_stream_to_memory(
         q.stop()
     spark = agg.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_foreach_batch_parquet(
+    agg: DataFrame,
+    dest_path: str,
+    checkpoint_path: str,
+    output_mode: str = "update",
+) -> None:
+    """Drive a streaming aggregation into a parquet sink via
+    ``foreachBatch`` — the idiomatic adapter for sinks without a
+    native streaming writer (JDBC, upsert stores). Each micro-batch
+    arrives as a plain DataFrame; with the checkpoint location the
+    (batch_id, write) pair is recoverable, and an idempotent batch
+    writer (partition-by-batch overwrite, or a key-dedup append like
+    sources/maintenance.append_new_by_key) upgrades at-least-once
+    re-delivery to effectively exactly-once."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(dest_path)
+        )
+
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -140,3 +140,33 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert rows.get(10) == 1
     # the late 08:00 event was dropped — its window never appears
     assert 8 not in rows
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch sink: the streaming agg lands in parquet with
+    batch ids; final (update-mode) per-key values match batch."""
+    from big_data_processing_spark.streaming.windowed import (
+        run_stream_foreach_batch_parquet,
+    )
+
+    stream = read_event_stream(spark, SF0001)
+    agg = hourly_event_counts(stream)
+    dest = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_foreach_batch_parquet(agg, dest, ckpt)
+
+    sunk = spark.read.parquet(dest)
+    assert "batch_id" in sunk.columns
+    # update mode re-emits a window on change — keep the LAST emission
+    latest = {}
+    for r in sunk.collect():
+        key = (r.hour, r.event_type)
+        if key not in latest or r.batch_id > latest[key][0]:
+            latest[key] = (r.batch_id, r.n_events, r.total_value)
+    expected = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in q_events_hourly(spark, SF0001).collect()
+    }
+    assert set(latest) == set(expected)
+    for key, (_, n, tv) in latest.items():
+        assert expected[key] == (n, tv)
