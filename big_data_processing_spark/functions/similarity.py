@@ -158,25 +158,64 @@ def lsh_cosine_topk(
     bucket equi-join instead of a full cross product; tune
     (num_planes, num_tables) for the recall/candidate-count point —
     fewer planes = bigger buckets, more tables = more chances."""
-    sig = F.col(vec_col)
-    # Signature math is CPU-dense (num_tables·num_planes folds over
-    # dim-length arrays per row) — spread over cores, not input splits.
-    c = (
-        spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.explode(
-                lsh_buckets(sig, dim, num_planes, num_tables)
-            ).alias("tb"),
-        )
-        .select(id_col, vec_col, "tb.table", "tb.bucket")
+    # All table signatures in ONE numpy GEMM per Arrow batch: the
+    # expression-tree formulation (num_tables·num_planes zip_with
+    # folds, each over a dim-length literal array) costs seconds of
+    # analyzer/codegen time and JVM interpretation — sign(V·Pᵀ) with
+    # a (tables·planes, dim) matrix is the same math at BLAS speed.
+    import numpy as np
+    import pandas as pd
+
+    plane_mat = np.array(
+        [
+            [_plane_sign(t, p, d) for d in range(dim)]
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    )
+    sc = corpus.sparkSession.sparkContext
+    bp = sc.broadcast(plane_mat)
+    pw2 = np.left_shift(1, np.arange(num_planes))
+
+    def bucket_kernel(id_name, vec_name):
+        def kernel(batches):
+            planes = bp.value
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                mat = np.array(list(pdf[vec_name]), dtype=np.float64)
+                proj = mat @ planes.T  # (n, tables*planes)
+                bits = (proj >= 0).astype(np.int64).reshape(
+                    n, num_tables, num_planes
+                )
+                buckets = (bits * pw2).sum(axis=2)  # (n, tables)
+                yield pd.DataFrame(
+                    {
+                        id_name: pdf[id_name].repeat(num_tables),
+                        vec_name: pdf[vec_name].repeat(num_tables),
+                        "table": np.tile(
+                            np.arange(num_tables, dtype=np.int32), n
+                        ),
+                        "bucket": buckets.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return kernel
+
+    c = spread(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    ).mapInPandas(
+        bucket_kernel(id_col, vec_col),
+        schema=f"{id_col} long, {vec_col} array<float>, "
+        "table int, bucket int",
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(lsh_buckets(sig, dim, num_planes, num_tables)).alias("tb"),
-    ).select("query_id", "q_vec", "tb.table", "tb.bucket")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).mapInPandas(
+        bucket_kernel("query_id", "q_vec"),
+        schema="query_id long, q_vec array<float>, table int, bucket int",
+    )
     cand = (
         c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
