@@ -1064,3 +1064,80 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_s")
     )
+
+
+@register(
+    "hypertable_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(GROUPING(strftime(ts, '%Y-%m-%d'), hour(ts)) AS INT) AS gid,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), hour(ts))
+    ORDER BY gid, day, hour
+    """,
+    doc="Hypertable-style continuous-aggregate hierarchy: hourly, "
+    "daily, and grand totals in ONE pass via time-bucket ROLLUP - "
+    "the 'continuous aggregate at several granularities' shape "
+    "without re-reading the fact table per level",
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("day", "hour", "gid", "n_events", "total_value")
+        .orderBy("gid", "day", "hour")
+    )
+
+
+@register(
+    "events_value_bands",
+    """
+    WITH bands(band_id, lo, hi) AS (
+      VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0),
+             (3, 200.0, 350.0), (4, 350.0, 1e9)
+    )
+    SELECT b.band_id, count(*) AS n_events,
+           round(avg(e.value), 6) AS avg_value
+    FROM events e JOIN bands b
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id ORDER BY b.band_id
+    """,
+    doc="Range (non-equi) join: facts banded against a broadcast "
+    "interval dimension — plans as BroadcastNestedLoopJoin, the right "
+    "strategy when the interval side is small; for large interval "
+    "tables bucketize the ranges into equi-join keys first",
+)
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bands = events.sparkSession.createDataFrame(
+        [
+            (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0),
+            (3, 200.0, 350.0), (4, 350.0, 1e9),
+        ],
+        "band_id int, lo double, hi double",
+    )
+    joined = events.join(
+        F.broadcast(bands),
+        on=[events.value >= bands.lo, events.value < bands.hi],
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("band_id")
+    )
