@@ -1,0 +1,115 @@
+"""Iterative graph operators on DataFrames: connected components
+via label propagation — the transitive-closure step a dedup
+pipeline needs to turn near-duplicate PAIRS into duplicate CLUSTERS
+(drop-all-but-one-per-cluster beats drop-one-per-pair when dups
+chain: a~b, b~c but not a~c).
+
+Scale notes
+-----------
+- Label propagation converges in O(diameter) rounds; near-dup
+  graphs are unions of small cliques, so 3-5 rounds typically
+  suffice. Each round is one join + one aggregate on (id, label)
+  pairs — never document payloads.
+- Every iteration TRUNCATES LINEAGE (eager localCheckpoint after an
+  explicit repartition): without it the plan doubles per round and
+  the driver dies in analysis long before the executors break a
+  sweat. This is the canonical legitimate checkpoint use —
+  iterative algorithms — unlike the self-join "optimization" that
+  SCALE.md warns about.
+- The per-round convergence check (count of changed labels) is one
+  scalar action; for fixed-round budgets drop it and loop blind.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.partitioning import spread
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge
+    list. Returns (id, component) where component is the MINIMUM
+    vertex id in the component (deterministic canonical label).
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # materialize the edge list once — every round re-reads it
+    sym = sym.localCheckpoint(eager=True)
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    # NOTE: no spread() here, by measurement — label frames are
+    # (id, label) pairs whose compute tracks their byte size, so
+    # AQE's byte-based coalescing picks the right width for small
+    # graphs (narrow, low scheduling overhead) AND for huge ones
+    # (stays wide). Forcing defaultParallelism-wide rounds made the
+    # sf0.1 run 5× slower on scheduling overhead alone.
+    labels = verts.withColumn("comp", F.col("id")).localCheckpoint(
+        eager=True
+    )
+
+    for _ in range(max_iter):
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("nc")
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nc").alias("min_nb"))
+            .select(F.col("src").alias("id"), "min_nb")
+        )
+        new_labels = labels.join(nb, on="id", how="left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("min_nb"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping (path halving): relabel to the label's own
+        # label — min labels now travel 2^round hops instead of 1,
+        # so convergence takes ~log(diameter) rounds, not diameter
+        jump = new_labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("cc")
+        )
+        new_labels = new_labels.join(jump, on="comp", how="left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("cc"), F.col("comp"))
+            ).alias("comp"),
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate clusters from verified pair output (MinHash /
+    SimHash / Jaccard): (id, cluster_id, is_representative) where
+    the representative is the minimum id of each cluster — the row
+    to KEEP; everything else in the cluster is a transitive dup."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    return comp.select(
+        "id",
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_representative"),
+    )

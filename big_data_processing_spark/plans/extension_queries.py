@@ -1141,3 +1141,50 @@ def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             list_distinct([substr(s, i, 3)
+                            FOR i IN range(1, greatest(len(s) - 1, 1))]) AS grams
+      FROM (SELECT doc_id, lang, n_chars, {NORM_SQL} AS s FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           AND a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+            >= 0.3
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), v AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, r) AS (
+      SELECT id, id FROM v
+      UNION
+      SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a
+    )
+    SELECT id, min(r) AS cluster_id,
+           (id = min(r)) AS is_representative
+    FROM reach GROUP BY id ORDER BY id
+    """,
+    doc="Transitive near-dup clusters: connected components (iterative "
+    "label propagation with per-round lineage truncation) over the "
+    "exact-Jaccard pair graph; oracle is a recursive-CTE closure — "
+    "chains a~b~c collapse to one cluster even when a!~c directly",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "len_bucket"], n=3, threshold=0.3
+    )
+    return dedup_clusters(pairs).orderBy("id")

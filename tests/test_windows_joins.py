@@ -147,3 +147,34 @@ def test_cosine_near_dup_pairs(spark):
     )
     out = cosine_near_dup_pairs(df, ["label"], threshold=0.95)
     assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+
+
+def test_connected_components_chain_and_island(spark):
+    from big_data_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (7, 7)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.id: r.comp for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_representatives(spark):
+    from big_data_processing_spark.operators.graph import dedup_clusters
+
+    # transitive chain: a~b, b~c (a!~c directly) must form ONE cluster
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "id_a long, id_b long"
+    )
+    rows = dedup_clusters(pairs).collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, set()).add(r.id)
+    assert clusters == {10: {10, 20, 30}, 40: {40, 50}}
+    reps = {r.id for r in rows if r.is_representative}
+    assert reps == {10, 40}
