@@ -302,47 +302,45 @@ def ngram_jaccard_pairs(
         # referenced 4× below (sizes both sides, arrays both sides)
         .localCheckpoint(eager=False)
     )
-    # Candidate pairs are generated from (block, id, size) ONLY — the
-    # gram arrays stay out of the block self-join, so the join
-    # shuffles ids, not payloads. Size prefilter: |a∩b| ≤ min(|a|,|b|)
-    # and |a∪b| ≥ max(|a|,|b|), so jaccard ≤ min/max — pairs failing
-    # min/max ≥ t are dropped before any set work, zero recall loss.
-    sizes = base.select(
-        *block_cols, F.col(id_col), F.size("grams").alias("sz")
+    if not threshold > 0.0:
+        raise ValueError(
+            "threshold must be > 0: the inverted-index formulation "
+            "never sees pairs with an empty intersection"
+        )
+    # Inverted-index formulation: explode grams, self-join on
+    # (block, gram), COUNT shared grams per pair with map-side
+    # partial aggregation. The shuffle carries (id_a, id_b, count)
+    # partials — never the gram arrays themselves (the pair-array
+    # alternative shuffled both ~300-long arrays per candidate pair:
+    # GBs at sf0.1, measured ~2.5× slower). Zero-intersection pairs
+    # simply never appear, which is exact for any threshold > 0.
+    exploded = base.select(
+        *block_cols, F.col(id_col), F.explode("grams").alias("g")
     )
-    left = sizes.select(
-        *block_cols, F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+    inter_counts = (
+        exploded.select(*block_cols, F.col(id_col).alias("id_a"), "g")
+        .join(
+            exploded.select(
+                *block_cols, F.col(id_col).alias("id_b"), "g"
+            ),
+            on=[*block_cols, "g"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    right = sizes.select(
-        *block_cols, F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
-    )
-    size_ok = (
-        F.least("sz_a", "sz_b").cast("double")
-        >= F.greatest("sz_a", "sz_b") * F.lit(threshold)
-    )
-    cand = (
-        left.join(right, on=block_cols)
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
-        .select("id_a", "id_b")
-    )
-    # Re-attach arrays only for surviving candidates; the explicit
-    # repartition spreads the per-pair set work across all cores
-    # (AQE would otherwise coalesce these tiny-byte partitions).
-    arrays = base.select(F.col(id_col), F.col("grams"))
-    pairs = _spread(cand, "id_a", "id_b").join(
-        arrays.select(
-            F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")
-        ),
+    sizes = base.select(F.col(id_col), F.size("grams").alias("sz"))
+    pairs = inter_counts.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
         on="id_a",
     ).join(
-        arrays.select(
-            F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")
-        ),
+        sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
         on="id_b",
     )
-    inter = F.size(F.array_intersect("g_a", "g_b"))
-    union = F.size(F.array_union("g_a", "g_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    jac = F.when(
+        union > 0, F.col("inter").cast("double") / union
+    ).otherwise(F.lit(0.0))
     return (
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
