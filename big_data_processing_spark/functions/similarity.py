@@ -92,53 +92,11 @@ def _plane_sign(table: int, p: int, d: int) -> float:
     return 1.0 if digest[0] % 2 == 0 else -1.0
 
 
-def hyperplane_signature(
-    vec: Column, dim: int, num_planes: int = 8, table: int = 0
-) -> Column:
-    """Random-hyperplane LSH signature: bit i = sign of <v, h_i>
-    where h_i is a deterministic pseudo-random ±1 hyperplane
-    (distinct per ``table`` — the multi-table LSH family).
-
-    The plane components are computed driver-side and emitted as
-    array LITERALS: deriving them with in-plan hash expressions
-    measured seconds of analyzer/codegen time at num_planes·dim
-    nodes, all spent folding constants the driver can just supply."""
-    bits = []
-    for p in range(num_planes):
-        signs = F.array(
-            *[F.lit(_plane_sign(table, p, d)) for d in range(dim)]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(
-            F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("int")
-
-
-def lsh_buckets(
-    vec: Column, dim: int, num_planes: int, num_tables: int
-) -> Column:
-    """Array of (table, bucket) structs — one signature per hash
-    table. Multi-table LSH is what makes hyperplane bucketing usable
-    when neighbors are far from parallel: one table's collision
-    probability is cos-angle-dependent (~p^planes), but ANY-of-L
-    tables boosts recall to 1-(1-p^planes)^L at L× candidate cost."""
-    return F.array(*[
-        F.struct(
-            F.lit(t).alias("table"),
-            hyperplane_signature(vec, dim, num_planes, table=t).alias(
-                "bucket"
-            ),
-        )
-        for t in range(num_tables)
-    ])
+# (An earlier revision computed signatures with JVM array
+# expressions — num_tables·num_planes zip_with folds over literal
+# plane arrays. That costs seconds of analyzer/codegen time and
+# interpreted per-row folds; the numpy GEMM kernel inside
+# lsh_cosine_topk replaced it outright.)
 
 
 def lsh_cosine_topk(
