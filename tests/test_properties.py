@@ -106,3 +106,94 @@ def test_tokens_nonempty_and_whitespace_free(spark, text):
     for tok in toks:
         assert tok != ""
         assert " " not in tok
+
+
+@_slow
+@given(
+    st.lists(  # left events: (key 0-2, minute 0-120)
+        st.tuples(st.integers(0, 2), st.integers(0, 120)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # right quotes: (key, minute, value) — unique (key, ts)
+        st.tuples(
+            st.integers(0, 2), st.integers(0, 120), st.integers(0, 100)
+        ),
+        max_size=15,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_matches_python_model(spark, lefts, rights):
+    import datetime as dt
+
+    from big_data_processing_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(k, ts(m), i) for i, (k, m) in enumerate(lefts)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(m), float(v)) for k, m, v in rights],
+        "k long, ts timestamp, quote double",
+    ) if rights else spark.createDataFrame(
+        [], "k long, ts timestamp, quote double"
+    )
+    got = {
+        r.lid: r.asof_quote
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload_cols=["quote"],
+        ).collect()
+    }
+
+    def model(k, m):  # latest quote at-or-before m for key k
+        cands = [(rm, v) for rk, rm, v in rights if rk == k and rm <= m]
+        return float(max(cands)[1]) if cands else None
+
+    assert got == {
+        i: model(k, m) for i, (k, m) in enumerate(lefts)
+    }
+
+
+@_slow
+@given(
+    st.lists(  # events: (user 0-1, minute)
+        st.tuples(st.integers(0, 1), st.integers(0, 500)),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_sessionize_matches_python_model(spark, events):
+    import datetime as dt
+
+    from big_data_processing_spark.operators.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (u, t0 + dt.timedelta(minutes=m), i)
+            for i, (u, m) in enumerate(events)
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = sessionize(df, "user_id", "ts", 30.0, tiebreak=["event_id"])
+    got = {r.event_id: r.session_id for r in out.collect()}
+
+    expected = {}
+    for u in {u for u, _ in events}:
+        rows = sorted(
+            (m, i) for i, (uu, m) in enumerate(events) if uu == u
+        )
+        sid, last = 0, None
+        for m, i in rows:
+            if last is None or m - last > 30:
+                sid += 1
+            expected[i] = sid
+            last = m
+    assert got == expected
