@@ -70,3 +70,11 @@ def register_views(
     """Register every corpus table as a temp view for ``spark.sql``."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """Names of tables/views registered in the current catalog
+    (reference S10, `local_file_manager.py:68-85` — its recursive
+    sink-directory walk becomes a catalog listing in an engine with
+    an actual catalog)."""
+    return sorted(t.name for t in spark.catalog.listTables())

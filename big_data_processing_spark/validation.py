@@ -136,3 +136,9 @@ def validate_schema(
         missing_critical=missing_critical,
         missing_optional=sorted(missing - critical),
     )
+
+
+def dtype_report(df: DataFrame) -> dict[str, str]:
+    """Per-column type-name map (reference P5,
+    `data_validator.py:132-133`) — driver-only metadata, no job."""
+    return dict(df.dtypes)

@@ -65,3 +65,21 @@ def test_schema_gate_critical_vs_optional(spark):
     # only optional missing → valid with warning list
     check = validate_schema(df, expected, critical={"fare"})
     assert check.valid and check.missing_optional == ["dist", "tip"]
+
+
+def test_dtype_report_no_job(spark):
+    from big_data_processing_spark.validation import dtype_report
+
+    df = spark.createDataFrame([(1, 2.5, "x")], "a long, b double, c string")
+    assert dtype_report(df) == {"a": "bigint", "b": "double", "c": "string"}
+
+
+def test_list_tables(spark):
+    from big_data_processing_spark.sources.catalog import (
+        list_tables,
+        register_views,
+    )
+    from tests.conftest import SF0001
+
+    register_views(spark, SF0001, ("region",))
+    assert "region" in list_tables(spark)
