@@ -1188,3 +1188,62 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", ["lang", "len_bucket"], n=3, threshold=0.3
     )
     return dedup_clusters(pairs).orderBy("id")
+
+
+@register(
+    "price_quantiles_by_flag",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Grouped exact quantiles — one percentile buffer per group in "
+    "a single hash aggregate (array form); percentile_approx is the "
+    "sketch-mergeable 100 TB variant",
+)
+def q_price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    q = df.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    )
+    return q.select(
+        "l_returnflag",
+        F.round(F.col("q")[0], 6).alias("q25"),
+        F.round(F.col("q")[1], 6).alias("q50"),
+        F.round(F.col("q")[2], 6).alias("q75"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "customer_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate)
+                - lag(epoch(o_orderdate)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                  ) AS DOUBLE) / 86400.0 AS days_since_prev
+    FROM orders
+    """,
+    doc="lag window function: per-customer gap (days) since the "
+    "previous order — the repeat-purchase-interval building block; "
+    "one shuffle on the partition key",
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NTZ timestamps cast to epoch via an intermediate timestamp
+    # (session tz is pinned UTC; the corpus is tz-naive UTC data)
+    epoch = F.col("o_orderdate").cast("timestamp").cast("double")
+    prev = F.lag(epoch).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        ((epoch - prev) / 86400.0).alias("days_since_prev"),
+    )
