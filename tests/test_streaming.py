@@ -170,3 +170,28 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert set(latest) == set(expected)
     for key, (_, n, tv) in latest.items():
         assert expected[key] == (n, tv)
+
+
+def test_stream_static_join_enrichment(spark):
+    """Stream-static join: the events stream enriched against a
+    static per-user profile (batch-derived) — stateless, no
+    watermark needed; the static side is re-planned per micro-batch
+    so slowly-changing dims pick up updates."""
+    from big_data_processing_spark.sources.catalog import load_table
+
+    events = load_table(spark, SF0001, "events")
+    profile = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("lifetime_events")
+    )
+
+    stream = read_event_stream(spark, SF0001)
+    enriched = stream.join(profile, on="user_id").select(
+        "event_id", "user_id", "lifetime_events"
+    )
+    got = run_stream_to_memory(enriched, "enrich_smoke")
+
+    assert got.count() == events.count()  # inner join, all users known
+    # spot-check: every row's lifetime count matches the profile
+    prof = {r.user_id: r.lifetime_events for r in profile.collect()}
+    for r in got.limit(50).collect():
+        assert prof[r.user_id] == r.lifetime_events
