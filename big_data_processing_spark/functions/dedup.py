@@ -108,6 +108,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.6,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -116,16 +117,23 @@ def minhash_near_duplicates(
     self-join on (band, bucket) ids only → distinct candidate pairs
     → exact shingle-set Jaccard re-computed just for candidates.
     Only ids and band hashes ever shuffle; document shingles are
-    re-derived scan-side for the (small) candidate set."""
+    re-derived scan-side for the (small) candidate set.
+
+    ``persist=True`` caches the signature and shingle intermediates
+    (MEMORY_AND_DISK) — each is referenced twice (band self-join /
+    the two verification joins), so without it the shingle pipeline
+    executes up to 4×. Unlike localCheckpoint (which erases both
+    partitioning and statistics and measured 5× SLOWER here),
+    persist keeps the optimized plan + stats, so Catalyst still
+    plans the joins correctly. Caches are LRU-evicted; pass
+    ``persist=False`` for one-shot pipelines that must not occupy
+    executor storage memory."""
+    from pyspark import StorageLevel
+
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    # NOTE: the band self-join evaluates sig on both sides (and the
-    # verification joins re-derive shingles), so the shingle pipeline
-    # runs up to 4×. Do NOT "fix" this with localCheckpoint here:
-    # checkpointed RDDs lose partitioning AND statistics, which
-    # measured 5× SLOWER (Catalyst falls back to blind broadcast
-    # plans). Re-evaluation is cheap relative to that; at cluster
-    # scale persist(MEMORY_AND_DISK) on sig is the right lever.
+    if persist:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_cols = [
         F.struct(
@@ -162,6 +170,8 @@ def minhash_near_duplicates(
             char_ngram_hashes_of_norm(F.col("nrm"), shingle_n).alias("sh"),
         )
     )
+    if persist:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _spread(cand, "id_a", "id_b").join(
         shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
         on="id_a",

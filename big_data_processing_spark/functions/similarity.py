@@ -288,7 +288,11 @@ def brute_force_cosine_topk_pandas(
             for j, qid in enumerate(ids_q):
                 col = cos[:, j]
                 mask = c_ids != qid  # no self-matches
-                order = np.argsort(-col[mask])[:k]
+                # lexsort: (cos desc, id asc) so the batch-local
+                # selection uses the same tie-break as the global
+                # window — argsort position order could drop the
+                # lower-id neighbor at a tie on the k boundary
+                order = np.lexsort((c_ids[mask], -col[mask]))[:k]
                 sel_ids = c_ids[mask][order]
                 sel_cos = col[mask][order]
                 out["query_id"] += [qid] * len(sel_ids)
@@ -434,3 +438,36 @@ def ivf_cosine_topk(
         [F.col("cos").desc(), F.col(id_col)],
         k,
     ).select("query_id", id_col, "cos", "rank")
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one.
+
+    Both inputs are (query_id, id_col, ...) neighbor lists (the
+    shape every top-k function here returns). Returns one row per
+    query: (query_id, n_exact, n_hit, recall) where recall =
+    |approx ∩ exact| / |exact|. The join is on (query_id, id) only —
+    vectors never move — so auditing recall over millions of queries
+    costs one small equi-join. This is the quantified quality signal
+    approximate ANN paths need next to their latency numbers."""
+    e = exact.select("query_id", F.col(id_col).alias("__nb"))
+    a = approx.select("query_id", F.col(id_col).alias("__nb"))
+    hits = e.join(a, on=["query_id", "__nb"], how="left_semi")
+    n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, on="query_id", how="left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -38,9 +38,18 @@ def connected_components(
     list. Returns (id, component) where component is the MINIMUM
     vertex id in the component (deterministic canonical label).
     """
+    # symmetrize via a single explode, NOT union(edges, edges.swap):
+    # the union form references `edges` twice, so an expensive edge
+    # producer (e.g. the Jaccard pair pipeline) would execute twice
+    # inside the one materialization job below
     sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # materialize the edge list once — every round re-reads it
     sym = sym.localCheckpoint(eager=True)
     verts = sym.select(F.col("src").alias("id")).distinct()

@@ -58,7 +58,17 @@ def salted_join(
     skew handling isn't available (e.g. bucketed inputs). Costs a
     ``salt``× blow-up of the right side — keep the right side the
     smaller input.
+
+    Only left-preserving join types are supported: the right side is
+    replicated across all salt shards, so 'right'/'full' would emit
+    each unmatched right row ``salt`` times.
     """
+    if how not in {"inner", "left", "left_semi", "left_anti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, "
+            f"not {how!r}: the replicated right side would duplicate "
+            f"unmatched right rows"
+        )
     left_salted = left.withColumn(
         "__salt", (F.rand(42) * salt).cast("int")
     )

@@ -29,6 +29,25 @@ def fixed_size_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+def systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    every: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """Deterministic 1-in-``every`` systematic sample by key
+    arithmetic: keeps rows where ``key % every == offset``.
+
+    Engine-independent (same rows in any SQL engine — the
+    hash-checked member of the sampling family) and fully
+    reproducible across runs/partitionings, unlike seeded RNG
+    samples. Statistically sound when the key is uncorrelated with
+    the measures (e.g. a surrogate id); use ``offset`` to draw
+    disjoint replicates. One scan, no shuffle, pushed to the
+    parquet reader as a predicate."""
+    return df.filter(F.pmod(F.col(key_col), F.lit(every)) == offset)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -36,6 +36,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_processing_spark.monitoring import PipelineMonitor
 from big_data_processing_spark.operators.cleaning import iqr_filter
 from big_data_processing_spark.plans.parity_queries import (
     CLEAN_RULES,
@@ -69,24 +70,34 @@ def run_pipeline(
     sf_dir: str,
     out_dir: str,
     table: str = "lineitem",
+    monitor: "PipelineMonitor | None" = None,
 ) -> PipelineResult:
     """Run the full ETL DAG over ``{sf_dir}/{table}.parquet`` and
     write aggregate outputs under ``out_dir`` (any Hadoop-supported
-    scheme). Returns per-stage metrics."""
+    scheme). Returns per-stage metrics.
+
+    Pass a ``monitoring.PipelineMonitor`` to record per-stage
+    wall/cpu/rss/task metrics (reference `pipeline_monitor.py:1-18`
+    role); omit for zero overhead."""
+    if monitor is None:
+        monitor = PipelineMonitor()  # record locally, discard
     raw = load_table(spark, sf_dir, table)
 
-    gate = validate_schema(raw, EXPECTED_COLUMNS, CRITICAL_COLUMNS)
-    if not gate.valid:
-        raise ValueError(
-            f"schema gate failed: missing critical {gate.missing_critical}"
-        )
+    with monitor.stage("schema_gate"):
+        gate = validate_schema(raw, EXPECTED_COLUMNS, CRITICAL_COLUMNS)
+        if not gate.valid:
+            raise ValueError(
+                f"schema gate failed: missing critical {gate.missing_critical}"
+            )
 
     rules = [
         ("invalid_price", F.col("l_extendedprice") > 100000),
         ("invalid_qty", F.col("l_quantity") >= 50),
         ("invalid_discount", F.col("l_discount") > 0.08),
     ]
-    quality = quality_metrics(raw, rules).first().asDict()
+    with monitor.stage("quality_metrics") as mrec:
+        quality = quality_metrics(raw, rules).first().asDict()
+        mrec.rows = int(quality["total_rows"])
 
     cleaned = iqr_filter(clean(raw), "l_extendedprice", exact=False)
     enhanced = enrich(cleaned).cache()
@@ -138,17 +149,22 @@ def run_pipeline(
         ]
         for name, df, fmt in sinks:
             path = f"{out_dir}/{name}"
-            if fmt == "parquet":
-                write_parquet(df, path)
-            else:
-                write_csv(df, path)
+            with monitor.stage(f"sink:{name}"):
+                if fmt == "parquet":
+                    write_parquet(df, path)
+                else:
+                    write_csv(df, path)
             outputs[name] = path
+
+        with monitor.stage("clean_count") as crec:
+            clean_rows = enhanced.count()
+            crec.rows = clean_rows
 
         return PipelineResult(
             schema_valid=True,
             quality=quality,
             raw_rows=int(quality["total_rows"]),
-            clean_rows=enhanced.count(),
+            clean_rows=clean_rows,
             outputs=outputs,
         )
     finally:

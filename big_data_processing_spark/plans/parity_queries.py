@@ -561,3 +561,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         df, "l_returnflag", {"A": 0.05, "N": 0.01, "R": 0.05}, seed=42
     )
+
+
+@register(
+    "systematic_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE (l_orderkey * 10 + l_linenumber) % 97 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="SA-family: deterministic 1-in-97 systematic sample by key "
+    "arithmetic — engine-independent (the hash-checked member of "
+    "the sampling family, unlike seeded-RNG SA1/SA2), reproducible "
+    "across runs and partitionings; predicate pushes to the scan",
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.sampling import (
+        systematic_sample,
+    )
+
+    df = _lineitem(spark, sf_dir).withColumn(
+        "__k", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return (
+        systematic_sample(df, "__k", every=97, offset=0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -75,6 +75,62 @@ def write_csv(
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def create_table(
+    spark: SparkSession,
+    name: str,
+    schema: T.StructType | str,
+    path: str | None = None,
+    partition_by: list[str] | None = None,
+    if_not_exists: bool = True,
+) -> None:
+    """Managed/external table DDL: ``CREATE TABLE ... USING parquet``
+    (reference S8: `scripts/create_tables.sql:10-57` creates typed
+    tables; its CREATE INDEX statements have no Spark equivalent —
+    bucketing via ``write_bucketed`` is the Spark-native analogue of
+    a join/lookup index, and hive partitioning of a range index).
+
+    ``schema`` is a StructType or a DDL string ("id BIGINT, v
+    DOUBLE"); ``path`` makes it an external table over existing
+    files, otherwise data lives in the warehouse dir."""
+    ddl = (
+        schema
+        if isinstance(schema, str)
+        else ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+    )
+    exists = "IF NOT EXISTS " if if_not_exists else ""
+    stmt = f"CREATE TABLE {exists}{name} ({ddl}) USING parquet"
+    if partition_by:
+        stmt += f" PARTITIONED BY ({', '.join(partition_by)})"
+    if path is not None:
+        stmt += f" LOCATION '{path}'"
+    spark.sql(stmt)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS — the teardown half of S8."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def copy_file(spark: SparkSession, src: str, dest: str) -> bool:
+    """Driver-side single-file copy via the Hadoop FileSystem API
+    (reference S11: `local_file_manager.py:24-35,56-66` shutil.copy2)
+    — scheme-agnostic, so the same call moves a file between local
+    disk, HDFS, and object storage. Not a dataflow op: use it for
+    manifests/configs, never for table data (that's a distributed
+    read→write)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src_path = jvm.org.apache.hadoop.fs.Path(src)
+    dest_path = jvm.org.apache.hadoop.fs.Path(dest)
+    src_fs = src_path.getFileSystem(conf)
+    dest_fs = dest_path.getFileSystem(conf)
+    return jvm.org.apache.hadoop.fs.FileUtil.copy(
+        src_fs, src_path, dest_fs, dest_path, False, True, conf
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

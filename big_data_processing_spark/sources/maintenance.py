@@ -16,6 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _n_target_files(total_bytes: int, target_file_mb: int) -> int:
+    """ceil(total_bytes / target), minimum 1."""
+    target = target_file_mb * 1024 * 1024
+    return max(1, -(-total_bytes // target))
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,
@@ -35,9 +41,7 @@ def compact_parquet(
     path = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = path.getFileSystem(conf)
     total = fs.getContentSummary(path).getLength()
-    n_files = max(1, int(total / (target_file_mb * 1024 * 1024)) + (
-        1 if total % (target_file_mb * 1024 * 1024) else 0
-    ) - (1 if total and total % (target_file_mb * 1024 * 1024) == 0 else 0))
+    n_files = _n_target_files(total, target_file_mb)
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dest_path)
     return n_files
@@ -57,11 +61,18 @@ def append_new_by_key(
     on the key removes even that. Returns the number of appended
     rows (an action — the count drives the write decision)."""
     spark = df.sparkSession
-    try:
-        existing = spark.read.parquet(sink_path).select(key_col)
-    except Exception:  # first load — empty sink
+    # Check sink existence explicitly: treating an arbitrary read
+    # error (corrupt footer, transient FS fault) as "first load"
+    # would overwrite — and destroy — existing data. Real read
+    # errors must propagate.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(sink_path)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):  # first load — sink truly absent
         df.write.mode("overwrite").parquet(sink_path)
         return df.count()
+    existing = spark.read.parquet(sink_path).select(key_col)
     # strategy left to Catalyst+AQE: a small sink's keys broadcast,
     # a huge sink's keys sort-merge — forcing broadcast here would
     # OOM the driver once the sink outgrows memory

@@ -191,3 +191,90 @@ def test_append_new_by_key_idempotent(spark, tmp_path):
     final = spark.read.parquet(sink)
     assert final.count() == 150
     assert final.select("k").distinct().count() == 150
+
+
+def test_create_table_ddl_and_drop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.sources.files import (
+        create_table,
+        drop_table,
+    )
+
+    path = str(tmp_path / "ext_tbl")
+    spark.range(10).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v")
+    ).write.parquet(path)
+    create_table(
+        spark, "ext_tbl_t", "id BIGINT, v DOUBLE", path=path
+    )
+    try:
+        assert spark.sql("SELECT count(*) AS n FROM ext_tbl_t").first()["n"] == 10
+        # idempotent via IF NOT EXISTS
+        create_table(spark, "ext_tbl_t", "id BIGINT, v DOUBLE", path=path)
+        # StructType schema form
+        from pyspark.sql import types as T
+
+        create_table(
+            spark,
+            "ext_tbl_t2",
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("v", T.DoubleType()),
+                ]
+            ),
+            path=path,
+        )
+        assert "v" in spark.table("ext_tbl_t2").columns
+    finally:
+        drop_table(spark, "ext_tbl_t")
+        drop_table(spark, "ext_tbl_t2")
+    assert "ext_tbl_t" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_copy_file(spark, tmp_path):
+    from big_data_processing_spark.sources.files import copy_file
+
+    src = tmp_path / "a.txt"
+    src.write_text("manifest-content")
+    dest = tmp_path / "sub" / "b.txt"
+    assert copy_file(spark, str(src), str(dest))
+    assert dest.read_text() == "manifest-content"
+
+
+def test_append_new_by_key_propagates_read_errors(spark, tmp_path):
+    """A corrupt sink must raise, NOT silently overwrite (data-loss
+    hazard): only a truly absent sink takes the first-load path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.sources.maintenance import (
+        append_new_by_key,
+    )
+
+    sink = tmp_path / "corrupt_sink"
+    sink.mkdir()
+    (sink / "part-00000.parquet").write_bytes(b"not a parquet file")
+    batch = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(Exception):
+        append_new_by_key(batch, str(sink), "k")
+    # the corrupt file is untouched — nothing was overwritten
+    assert (sink / "part-00000.parquet").read_bytes() == b"not a parquet file"
+
+
+def test_compact_parquet_ceiling_formula():
+    """ceil semantics: input exactly 2x target -> 2 files, not 1
+    (the old three-term expression returned ceil-1 on exact
+    multiples)."""
+    from big_data_processing_spark.sources.maintenance import (
+        _n_target_files,
+    )
+
+    mb = 1024 * 1024
+    assert _n_target_files(1, 128) == 1
+    assert _n_target_files(128 * mb, 128) == 1
+    assert _n_target_files(128 * mb + 1, 128) == 2
+    assert _n_target_files(256 * mb, 128) == 2
+    assert _n_target_files(5 * 128 * mb + 7, 128) == 6
+    assert _n_target_files(0, 128) == 1

@@ -178,3 +178,17 @@ def test_dedup_clusters_representatives(spark):
     assert clusters == {10: {10, 20, 30}, 40: {40, 50}}
     reps = {r.id for r in rows if r.is_representative}
     assert reps == {10, 40}
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    left = spark.range(10).select(F.col("id").alias("k"))
+    right = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", salt=4, how=how)
+    # left-preserving types still work
+    n = salted_join(left, right, "k", salt=4, how="left_anti").count()
+    assert n == 5
