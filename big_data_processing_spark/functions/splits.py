@@ -1,0 +1,114 @@
+"""Deterministic corpus splitting, mixing, and sharding — the
+reproducibility-critical half of a training-data pipeline.
+
+Every operator here derives its decision from a cryptographic hash
+of a stable key (md5 hex, identical across engines and runs), NOT
+from seeded RNG: re-running the pipeline on a grown corpus keeps
+every previously-assigned document in the same split/shard bucket,
+and any SQL engine can audit the assignment bit-for-bit (these are
+the hash-checkable members of the sampling family).
+
+Scale notes
+-----------
+- md5-of-key decisions are embarrassingly parallel: one projection,
+  no shuffle, no state. At 100 TB the split is free.
+- ``pack_shards`` is the one op with a global running sum (shard
+  boundaries depend on every prior row). The window over a single
+  global ordering serializes at the final stage — fine up to ~10^8
+  docs of metadata (the window input is (id, size) only, never
+  text). Beyond that, shard per (partition-key) group instead: pack
+  within e.g. each (source, day) — same code with partition keys
+  added to the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hex_bucket(key: Column, n_hex: int = 2) -> Column:
+    """First ``n_hex`` lowercase hex chars of md5(key-as-string) —
+    a uniform, engine-independent [0, 16^n_hex) bucket label."""
+    return F.substring(
+        F.md5(F.encode(key.cast("string"), "UTF-8")), 1, n_hex
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    train_frac_16ths: int = 13,
+) -> DataFrame:
+    """Deterministic train/val assignment: documents whose first
+    md5 hex digit falls below ``train_frac_16ths`` (of 16) go to
+    'train' (13/16 ≈ 81%), the rest to 'val'.
+
+    Hash-based (not RNG): stable under re-runs, corpus growth, and
+    repartitioning; the same doc never migrates between splits —
+    the property that prevents train/val leakage across pipeline
+    versions."""
+    threshold = format(train_frac_16ths, "x")
+    return df.withColumn(
+        "split",
+        F.when(
+            _hex_bucket(F.col(key_col), 1) < F.lit(threshold), "train"
+        ).otherwise("val"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights_256ths: dict[str, int],
+    default_256ths: int = 0,
+) -> DataFrame:
+    """Weighted per-group deterministic sampling — the data-mixing
+    primitive (e.g. keep 50% of web text, 25% of forum text).
+
+    ``weights_256ths[g]`` = keep-rate numerator out of 256 for group
+    ``g``; a doc survives iff its first two md5 hex chars compare
+    below the group's threshold. Pure projection + filter: no
+    shuffle, no state, reproducible anywhere md5 exists."""
+    thresholds = F.create_map(
+        *[
+            x
+            for g, w in sorted(weights_256ths.items())
+            for x in (F.lit(g), F.lit(format(w, "02x")))
+        ]
+    )
+    thr = F.coalesce(
+        thresholds[F.col(group_col)],
+        F.lit(format(default_256ths, "02x")),
+    )
+    return df.filter(_hex_bucket(F.col(key_col), 2) < thr)
+
+
+def pack_shards(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    shard_budget: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign documents to training shards by cumulative size
+    budget: ``shard_id = floor(running_sum(size) / budget)`` in
+    ``key_col`` order (optionally within ``partition_cols`` groups —
+    the scale path; see module docstring).
+
+    Deterministic bin packing in one window pass: shard boundaries
+    land where the running total crosses each budget multiple, so
+    every shard (except the last per group) holds ≥ budget-max(size)
+    and ≤ budget+max(size) bytes — the even-shard property writers
+    need for balanced training files."""
+    w = Window.orderBy(key_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(key_col)
+    running = F.sum(F.col(size_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "shard_id", F.floor((running - F.col(size_col)) / F.lit(shard_budget))
+    )

@@ -250,3 +250,35 @@ def winnowing_fingerprints(
     return winnow_of_hashes(
         kgram_hashes_ordered(normalize_text(col), k), window
     )
+
+
+# Default redaction patterns: email, URL, long digit runs
+# (phone/SSN-ish). Java-regex and RE2 compatible subset — no
+# backrefs, no lookaround — so the same pattern string runs in any
+# engine that audits the scrub.
+PII_PATTERNS = [
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"https?://[^\s]+",
+    r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+]
+
+
+def scrub_pii(
+    col: Column, patterns: list[str] | None = None, mask: str = "[REDACTED]"
+) -> Column:
+    """Redact every match of each pattern with ``mask`` — the
+    PII-removal pass a training corpus gets before anything else.
+    One JVM-side regexp_replace per pattern, fused into a single
+    projection by codegen; no Python, no shuffle."""
+    out = col
+    for p in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, p, mask)
+    return out
+
+
+def pattern_count(col: Column, patterns: list[str] | None = None) -> Column:
+    """Total match count across patterns (the scrub audit metric)."""
+    total = F.lit(0)
+    for p in patterns or PII_PATTERNS:
+        total = total + F.regexp_count(col, F.lit(p))
+    return total

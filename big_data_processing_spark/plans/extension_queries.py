@@ -1297,3 +1297,161 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         ((epoch - prev) / 86400.0).alias("days_since_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splitting / mixing / sharding + PII scrub
+# (functions/splits.py, functions/text.py — the reproducibility-
+# critical training-data ops; all hash-based, so every one is
+# value-checkable in any engine with md5/regex)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(text, '\bcustomer\b|\bvector\b',
+                          '[REDACTED]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '\bcustomer\b|\bvector\b'))
+                AS BIGINT) AS n_redactions
+    FROM documents ORDER BY doc_id
+    """,
+    doc="PII/content redaction pass: regexp_replace-all per pattern, "
+    "fused into one codegen projection — demo patterns hit this "
+    "corpus's vocabulary; production patterns (email/URL/phone, "
+    "functions/text.py PII_PATTERNS) are engine-portable regex",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.text import (
+        pattern_count,
+        scrub_pii,
+    )
+
+    pats = [r"\bcustomer\b|\bvector\b"]
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        scrub_pii(F.col("text"), pats).alias("scrubbed"),
+        pattern_count(F.col("text"), pats).cast("bigint").alias(
+            "n_redactions"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "train_val_split",
+    """
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Deterministic train/val split by md5 hex digit (13/16 ≈ 81% "
+    "train): hash-based, not RNG — stable under re-runs, corpus "
+    "growth, and repartitioning, so documents never migrate between "
+    "splits across pipeline versions",
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.splits import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", 13)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "source_mixture_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE source WHEN 'src0' THEN '80'
+                      WHEN 'src1' THEN '40'
+                      WHEN 'src2' THEN '20'
+                      ELSE '10' END
+    ORDER BY doc_id
+    """,
+    doc="Weighted per-source deterministic mixture sampling (the "
+    "data-mixing primitive: keep 50% of src0, 25% of src1, 12.5% of "
+    "src2, 6.25% otherwise) — md5-threshold filter, one projection, "
+    "no shuffle, reproducible in any engine",
+)
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.splits import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(
+            docs,
+            "doc_id",
+            "source",
+            {"src0": 128, "src1": 64, "src2": 32},
+            default_256ths=16,
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_shards",
+    """
+    SELECT CAST(floor((run - n_chars) / 100000.0) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM documents
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Shard packing: assign docs to ~100KB training shards by "
+    "running-size window (deterministic bin packing; per-group "
+    "windows are the 100 TB path — see functions/splits.py)",
+)
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.splits import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pack_shards(docs, "doc_id", "n_chars", 100_000)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "token_topk",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS token
+      FROM documents
+    ) WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    doc="Vocabulary building: global token frequency top-k — explode "
+    "+ partial-agg count (map-side combine keeps the shuffle at "
+    "|vocab| per partition, not |corpus|), deterministic tie-break",
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " +")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )

@@ -1,0 +1,108 @@
+"""Deterministic corpus split / mixture / shard-packing ops
+(functions/splits.py) — hash-based, so assignments must be stable
+across recomputation and row order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.splits import (
+    hash_split,
+    mixture_sample,
+    pack_shards,
+)
+from big_data_processing_spark.sources.catalog import load_table
+from tests.conftest import SF0001
+
+
+def test_hash_split_fraction_and_stability(spark):
+    docs = load_table(spark, SF0001, "documents")
+    split = hash_split(docs, "doc_id", 13)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    # 13/16 = 81.25% expected; allow sampling noise on 500 docs
+    assert 0.70 <= counts["train"] / n <= 0.92
+    # deterministic: recomputation gives identical assignment
+    a = {(r.doc_id, r.split) for r in split.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in hash_split(
+            docs.orderBy(F.rand(7)), "doc_id", 13
+        ).select("doc_id", "split").collect()
+    }
+    assert a == b
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """Adding documents must not move existing ones between splits —
+    the anti-leakage property RNG splits lack."""
+    docs = load_table(spark, SF0001, "documents")
+    half = docs.filter("doc_id < 250")
+    full_assign = {
+        (r.doc_id, r.split)
+        for r in hash_split(docs, "doc_id", 13)
+        .filter("doc_id < 250").select("doc_id", "split").collect()
+    }
+    half_assign = {
+        (r.doc_id, r.split)
+        for r in hash_split(half, "doc_id", 13)
+        .select("doc_id", "split").collect()
+    }
+    assert full_assign == half_assign
+
+
+def test_mixture_sample_rates(spark):
+    docs = load_table(spark, SF0001, "documents")
+    kept = mixture_sample(
+        docs, "doc_id", "source", {"src0": 128, "src1": 64}, default_256ths=0
+    )
+    rates = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # default weight 0 drops every other source
+    assert set(rates) <= {"src0", "src1"}
+    assert 0.25 <= rates["src0"] / totals["src0"] <= 0.75  # ~50%
+    assert 0.08 <= rates["src1"] / totals["src1"] <= 0.45  # ~25%
+
+
+def test_pack_shards_budget_property(spark):
+    docs = load_table(spark, SF0001, "documents")
+    budget = 20_000
+    packed = pack_shards(docs, "doc_id", "n_chars", budget)
+    rows = packed.select("doc_id", "n_chars", "shard_id").orderBy(
+        "doc_id").collect()
+    # shard ids start at 0, are nondecreasing in doc order
+    assert rows[0].shard_id == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.shard_id >= a.shard_id
+    # every shard's size stays within budget + max single doc
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.shard_id] = sizes.get(r.shard_id, 0) + r.n_chars
+    max_doc = max(r.n_chars for r in rows)
+    for sid, size in sizes.items():
+        assert size <= budget + max_doc, (sid, size)
+    # all shards except the last reach the budget
+    last = max(sizes)
+    for sid, size in sizes.items():
+        if sid != last:
+            assert size >= budget - max_doc, (sid, size)
+
+
+def test_pack_shards_per_group(spark):
+    docs = load_table(spark, SF0001, "documents")
+    packed = pack_shards(
+        docs, "doc_id", "n_chars", 50_000, partition_cols=["lang"]
+    )
+    # shard numbering restarts per language group
+    firsts = (
+        packed.groupBy("lang").agg(F.min("shard_id").alias("m")).collect()
+    )
+    assert all(r.m == 0 for r in firsts)

@@ -139,3 +139,42 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert fp[1] & fp[2]
     assert not (fp[1] & fp[3] and fp[2] & fp[3])  # unrelated doc
     assert fp[4] == set()
+
+
+def test_scrub_pii_patterns(spark):
+    from big_data_processing_spark.functions.text import (
+        pattern_count,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org today"),
+            (2, "see https://ex.org/a?b=1 and http://t.co/x"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here"),
+            (5, None),
+        ],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        scrub_pii(F.col("t")).alias("s"),
+        pattern_count(F.col("t")).alias("n"),
+    ).collect()
+    by = {r.id: r for r in out}
+    assert "@" not in by[1].s and by[1].n == 1
+    assert "http" not in by[2].s and by[2].n == 2
+    assert "555" not in by[3].s and by[3].n == 1
+    assert by[4].s == "nothing sensitive here" and by[4].n == 0
+    assert by[5].s is None
+
+
+def test_scrub_pii_custom_patterns(spark):
+    from big_data_processing_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "the customer saw a vector")], "id long, t string")
+    got = df.select(
+        scrub_pii(F.col("t"), [r"\bcustomer\b|\bvector\b"], "[X]").alias("s")
+    ).first().s
+    assert got == "the [X] saw a [X]"
