@@ -1,0 +1,269 @@
+"""Corpus-hygiene operators for training-data pipelines:
+decontamination against a benchmark set, intra-document repetition
+(Gopher-style), cross-document boilerplate n-grams, rule-bundle
+quality flags, tf-idf salient terms, and a keep-best dedup policy.
+
+Like functions/text.py, everything is JVM-side expressions (word
+n-grams via sequence+slice inside whole-stage codegen) — no Python
+UDFs — so these run at scan speed over 100 TB. Pairwise work is
+avoided entirely: every operator here is explode → hash-aggregate
+(or broadcast-semi-join) shaped, shuffling (id, gram) pairs, never
+document bodies.
+
+No equivalents exist in the reference (its surface stops at tabular
+cleaning, SURVEY.md §2.8); these extend the engine the way a modern
+LLM-data pipeline (Gopher/C4-style filters, benchmark
+decontamination, boilerplate removal) needs.
+
+PERF pattern (see SCALE.md): token/gram arrays are materialized
+through select boundaries so the tokenizer runs once per row, and
+any gram table that is exploded or referenced more than once gets
+``spread`` (partition by compute, not bytes) + ``localCheckpoint
+(eager=False)`` — generator filter inference would otherwise
+substitute the gram expression back through the projections and
+re-trigger the per-element re-evaluation trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.text import tokens
+from big_data_processing_spark.partitioning import spread as _spread
+
+
+def word_ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Positional word n-grams (space-joined strings) of an
+    ALREADY-materialized token array column.
+
+    ``toks`` must be a bound column reference: an expression inlined
+    here re-executes per array element (the HOF re-evaluation trap —
+    see functions/text.py ``char_ngrams``)."""
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _gram_table(
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, grams) with the token array materialized first and the
+    lineage truncated — the safe base for anything that explodes or
+    re-reads the grams (same guard as functions/dedup.py
+    ``ngram_jaccard_pairs``)."""
+    grams = word_ngrams_of_tokens(F.col("__toks"), n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return (
+        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), grams.alias("grams"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Intra-document repetition (the Gopher duplicate-n-gram rule):
+    per document, total vs distinct word n-grams and the duplicate
+    fraction. Entirely per-row array math — narrow, no explode, no
+    pairwise work; ``spread`` aligns partitions with compute."""
+    toked = _spread(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    g = toked.select(
+        F.col(id_col),
+        word_ngrams_of_tokens(F.col("__toks"), n).alias("grams"),
+    )
+    n_grams = F.size("grams")
+    n_distinct = F.size(F.array_distinct("grams"))
+    return g.select(
+        F.col(id_col),
+        n_grams.cast("bigint").alias("n_grams"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        F.round(
+            F.when(
+                n_grams > 0,
+                1.0 - n_distinct.cast("double") / n_grams.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark_filter: Column,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: fraction of each training
+    document's distinct word n-grams that appear in ANY held-out
+    benchmark document (rows matching ``benchmark_filter``, which
+    must reference only ``id_col``).
+
+    Plan shape at 100 TB: the benchmark gram set is tiny relative to
+    the corpus (benchmarks are thousands of docs, not billions), so
+    it broadcasts; the corpus side explodes distinct grams and
+    counts semi-join hits with map-side partial aggregation — the
+    shuffle carries (id, count) partials, never text. Benchmark rows
+    are excluded from the output (they'd trivially score 1.0)."""
+    base = _gram_table(df, text_col, id_col, n)
+    bench_grams = (
+        base.filter(benchmark_filter)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = base.filter(~benchmark_filter)
+    hits = (
+        corpus.select(F.col(id_col), F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_hit").cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        corpus.select(
+            F.col(id_col), F.size("grams").cast("bigint").alias("n_grams")
+        )
+        .join(hits, id_col, "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            id_col,
+            "n_grams",
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(ratio, 6).alias("overlap"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, min_docs: int = 5
+) -> DataFrame:
+    """Cross-document boilerplate: word n-grams shared by ≥
+    ``min_docs`` DISTINCT documents (headers, footers, license
+    blurbs, template text). Grams are distinct-per-doc, so a plain
+    COUNT after explode IS the distinct-doc count — no
+    count_distinct state; map-side partial agg keeps the shuffle at
+    |gram vocab| per partition, not |corpus|."""
+    base = _gram_table(df, text_col, id_col, n)
+    return (
+        base.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Quality rule bundle (Gopher-style bounds, corpus-scaled
+    constants): each rule emits a boolean flag plus the conjunction
+    — the filter a C4/Gopher pipeline applies before anything
+    expensive. One codegen projection, no shuffle."""
+    toked = _spread(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("__toks"))
+    n_tok = F.size("__toks")
+    total_chars = F.aggregate(
+        F.transform(F.col("__toks"), lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.when(n_tok > 0, total_chars / n_tok).otherwise(F.lit(0.0))
+    n = F.length(F.col(text_col))
+    # symbol count = chars that are neither alphanumeric nor whitespace
+    symbols = n - F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", "")
+    )
+    symbol_ratio = F.when(n > 0, symbols.cast("double") / n).otherwise(F.lit(0.0))
+    return toked.select(
+        F.col(id_col),
+        ((n_tok >= min_tokens) & (n_tok <= max_tokens)).alias("tokens_ok"),
+        ((mean_len >= min_mean_len) & (mean_len <= max_mean_len)).alias(
+            "word_shape_ok"
+        ),
+        (symbol_ratio <= max_symbol_ratio).alias("symbols_ok"),
+    ).withColumn(
+        "passed",
+        F.col("tokens_ok") & F.col("word_shape_ok") & F.col("symbols_ok"),
+    )
+
+
+def tfidf_terms(
+    df: DataFrame, text_col: str, id_col: str, group_col: str
+) -> DataFrame:
+    """Per-group salient terms: tf (term count within group) ×
+    idf (ln(N_docs / df) over the whole corpus). Two hash
+    aggregates over exploded tokens (both with map-side combine)
+    plus a broadcast of the |vocab|-sized df table — no pairwise
+    work; the only driver boundary is the scalar corpus count."""
+    toked = _spread(
+        df.select(F.col(id_col), F.col(group_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("t"))
+    n_docs = df.count()  # scalar; one count job
+    tok = toked.select(
+        F.col(id_col), F.col(group_col), F.explode("t").alias("token")
+    )
+    docfreq = (
+        tok.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.join(F.broadcast(docfreq), "token").select(
+        group_col,
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Keep-best dedup policy: from each near-dup cluster keep the
+    single highest-``score_col`` member (ties → smallest id) — the
+    survivor set a dedup pass actually emits. One window over the
+    cluster key; near-dup clusters are small by construction, so the
+    per-key sort is bounded."""
+    from pyspark.sql.window import Window
+
+    joined = clusters.select("id", "cluster_id").join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col)), "id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col("id")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "cluster_id", score_col)
+    )

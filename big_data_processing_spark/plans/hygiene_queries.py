@@ -1,0 +1,287 @@
+"""Corpus-hygiene queries (functions/hygiene.py): benchmark
+decontamination, intra-doc repetition, boilerplate n-grams, quality
+rule bundle, tf-idf salient terms, keep-best dedup survivors, token
+histogram. Every query is value-checked against a DuckDB oracle —
+word n-grams are plain strings (not engine-specific hashes), so the
+whole family is hash-checkable, unlike the xxhash64-based sketch
+paths.
+
+No counterpart exists in the reference (SURVEY.md §2.8); these are
+the Gopher/C4-style corpus filters a training-data pipeline runs
+between ingestion and dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.hygiene import (
+    boilerplate_ngrams,
+    decontaminate,
+    gopher_quality_flags,
+    keep_best_per_cluster,
+    repetition_stats,
+    tfidf_terms,
+)
+from big_data_processing_spark.functions.text import token_count
+from big_data_processing_spark.plans.registry import register
+from big_data_processing_spark.sources.catalog import load_table
+
+# DuckDB fragments: the engine's normalization + tokenization.
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+TOKS_SQL = f"list_filter(string_split({NORM_SQL}, ' '), x -> x <> '')"
+
+
+@register(
+    "doc_repetition",
+    f"""
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           round(CASE WHEN len(grams) > 0
+                 THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                            / len(grams)
+                 ELSE 0.0 END, 6) AS dup_ratio
+    FROM (
+      SELECT doc_id,
+             [array_to_string(t[i:i+1], ' ')
+              FOR i IN range(1, greatest(len(t), 1))] AS grams
+      FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+    ) ORDER BY doc_id
+    """,
+    doc="Intra-document repetition (Gopher duplicate-n-gram rule): "
+    "per-doc duplicate word-bigram fraction — per-row array math, "
+    "no shuffle, no pairwise work",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id", n=2).orderBy("doc_id")
+
+
+@register(
+    "benchmark_decontaminate",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 1, 1))])
+               AS grams
+      FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+    ), bg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ), c AS (
+      SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT x.doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM c) x
+      JOIN bg ON x.gram = bg.gram
+      GROUP BY x.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CASE WHEN len(c.grams) > 0
+                 THEN CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / len(c.grams)
+                 ELSE 0.0 END, 6) AS overlap,
+           CASE WHEN len(c.grams) > 0
+                THEN CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / len(c.grams)
+                ELSE 0.0 END >= 0.5 AS contaminated
+    FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    ORDER BY c.doc_id
+    """,
+    doc="Benchmark decontamination: per training doc, fraction of "
+    "distinct word 3-grams appearing in the held-out benchmark set "
+    "(doc_id % 97 = 0) — broadcast-semi-join + partial-agg counts; "
+    "the shuffle carries (id, count), never text",
+)
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs, "text", "doc_id", F.col("doc_id") % 97 == 0, n=3, threshold=0.5
+    ).orderBy("doc_id")
+
+
+@register(
+    "boilerplate_ngrams",
+    f"""
+    SELECT gram, n_docs FROM (
+      SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+      FROM (
+        SELECT doc_id, unnest(list_distinct(
+          [array_to_string(t[i:i+2], ' ')
+           FOR i IN range(1, greatest(len(t) - 1, 1))])) AS gram
+        FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+      ) GROUP BY gram
+    ) WHERE n_docs >= 5
+    ORDER BY n_docs DESC, gram LIMIT 20
+    """,
+    doc="Cross-document boilerplate: word 3-grams shared by >= 5 "
+    "distinct docs, top 20 — distinct-per-doc explode makes plain "
+    "COUNT the distinct-doc count (no count_distinct state)",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        boilerplate_ngrams(docs, "text", "doc_id", n=3, min_docs=5)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    SELECT doc_id,
+           (n_tok >= 30 AND n_tok <= 100000) AS tokens_ok,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS word_shape_ok,
+           (symbol_ratio <= 0.1) AS symbols_ok,
+           ((n_tok >= 30 AND n_tok <= 100000)
+            AND (mean_len >= 3.0 AND mean_len <= 10.0)
+            AND (symbol_ratio <= 0.1)) AS passed
+    FROM (
+      SELECT doc_id, len(t) AS n_tok,
+             CASE WHEN len(t) > 0
+                  THEN list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE)))
+                       / len(t)
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN len(text) > 0
+                  THEN CAST(len(text)
+                       - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                       AS DOUBLE) / len(text)
+                  ELSE 0.0 END AS symbol_ratio
+      FROM (SELECT doc_id, text, {TOKS_SQL} AS t FROM documents)
+    ) ORDER BY doc_id
+    """,
+    doc="Gopher-style quality rule bundle: token-count bounds, mean "
+    "word length bounds, symbol ratio — one codegen projection per "
+    "doc, flags + conjunction",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(t) AS token
+      FROM (SELECT doc_id, lang, {TOKS_SQL} AS t FROM documents)
+    ), docfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), tf AS (
+      SELECT lang, token, count(*) AS tf FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token,
+           CAST(tf.tf AS BIGINT) AS tf,
+           CAST(docfreq.df AS BIGINT) AS df,
+           round(tf.tf * ln((SELECT count(*) FROM documents)
+                            / CAST(docfreq.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN docfreq USING (token)
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY tfidf DESC, token) <= 5
+    ORDER BY lang, tfidf DESC, token
+    """,
+    doc="Per-language salient terms: tf x ln(N/df), top 5 per "
+    "language with deterministic tie-break — two partial-agg "
+    "explodes + a broadcast of the vocab-sized df table",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tfidf_terms(docs, "text", "doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("lang", "token", "tf", "df", "tfidf")
+        .orderBy("lang", F.col("tfidf").desc(), "token")
+    )
+
+
+@register(
+    "cluster_representatives",
+    f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             list_distinct([substr(s, i, 3)
+                            FOR i IN range(1, greatest(len(s) - 1, 1))]) AS grams
+      FROM (SELECT doc_id, lang, n_chars, {NORM_SQL} AS s FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           AND a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+            >= 0.3
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), v AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, r) AS (
+      SELECT id, id FROM v
+      UNION
+      SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a
+    ), clusters AS (
+      SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT c.id, c.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM clusters c JOIN documents d ON c.id = d.doc_id
+    QUALIFY row_number() OVER (
+      PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.id) = 1
+    ORDER BY c.id
+    """,
+    doc="Keep-best dedup survivors: from each transitive near-dup "
+    "cluster keep the longest member (ties -> smallest id) — the row "
+    "set a dedup pass actually emits; oracle extends the "
+    "recursive-CTE closure with an argmax window",
+)
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.dedup import ngram_jaccard_pairs
+    from big_data_processing_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "len_bucket"], n=3, threshold=0.3
+    )
+    clusters = dedup_clusters(pairs)
+    return keep_best_per_cluster(clusters, docs, "doc_id", "n_chars").orderBy(
+        "id"
+    )
+
+
+@register(
+    "token_count_histogram",
+    f"""
+    SELECT source, CAST(len(t) // 10 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(len(t)) AS BIGINT) AS total_tokens
+    FROM (SELECT source, {TOKS_SQL} AS t FROM documents)
+    GROUP BY source, bucket ORDER BY source, bucket
+    """,
+    doc="Corpus token budget: per-source histogram of document token "
+    "counts (bucket width 10) + total tokens — the mixture-planning "
+    "input; one partial-agg shuffle of (source, bucket) keys",
+)
+def q_token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", token_count(F.col("text")).alias("n_tok")
+        )
+        .groupBy(
+            "source",
+            F.floor(F.col("n_tok") / 10).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -59,6 +59,7 @@ def _load_all() -> None:
     from big_data_processing_spark.plans import (  # noqa: F401
         parity_queries,
         extension_queries,
+        hygiene_queries,
     )
 
 

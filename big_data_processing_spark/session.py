@@ -50,9 +50,17 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
 
+    # local[N] runs driver and executors in ONE JVM: the default 1g
+    # heap serves 32 task threads (measured OOM at sf1 on exact
+    # percentile). Size the heap like the executor fleet it stands in
+    # for; harmless cap when idle. On a real cluster this knob moves
+    # to executor.memory via spark-submit.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -50,11 +50,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql import functions as F
+        # Files already written at µs/ms precision arrive as a real
+        # timestamp (nanosAsLong only rewrites NANOS columns) — only
+        # the nanos-long shape needs the conversion.
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,0 +1,145 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.hygiene import (
+    boilerplate_ngrams,
+    decontaminate,
+    gopher_quality_flags,
+    keep_best_per_cluster,
+    repetition_stats,
+    tfidf_terms,
+    word_ngrams_of_tokens,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_word_ngrams(spark):
+    got = (
+        spark.createDataFrame([(["a", "b", "c", "d"],)], "t array<string>")
+        .select(word_ngrams_of_tokens(F.col("t"), 2).alias("g"))
+        .collect()[0]
+        .g
+    )
+    assert got == ["a b", "b c", "c d"]
+
+
+def test_word_ngrams_short_and_empty(spark):
+    df = spark.createDataFrame([(["a"],), ([],)], "t array<string>")
+    got = [r.g for r in df.select(word_ngrams_of_tokens(F.col("t"), 2).alias("g")).collect()]
+    assert got == [[], []]
+
+
+def test_repetition_stats(spark):
+    df = _docs(spark, [(1, "a b a b a b"), (2, "a b c d"), (3, "x")])
+    rows = {
+        r.doc_id: r
+        for r in repetition_stats(df, "text", "doc_id", n=2).collect()
+    }
+    # doc 1 bigrams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct
+    assert rows[1].n_grams == 5 and rows[1].n_distinct == 2
+    assert abs(rows[1].dup_ratio - (1 - 2 / 5)) < 1e-9
+    assert rows[2].dup_ratio == 0.0
+    assert rows[3].n_grams == 0 and rows[3].dup_ratio == 0.0
+
+
+def test_decontaminate_flags_benchmark_copy(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # benchmark
+            (1, "the quick brown fox jumps over a sleeping cat"),  # overlaps
+            (2, "completely different words appear in this text here"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate(
+            df, "text", "doc_id", F.col("doc_id") == 0, n=3, threshold=0.5
+        ).collect()
+    }
+    assert 0 not in out  # benchmark rows excluded
+    assert out[1].contaminated  # shares 'the quick brown', ... >= 50%
+    assert not out[2].contaminated and out[2].n_hit == 0
+
+
+def test_boilerplate_ngrams_counts_distinct_docs(spark):
+    # 'a b c' appears in 3 docs (twice in doc 1 - must count once)
+    df = _docs(
+        spark,
+        [
+            (1, "a b c x a b c"),
+            (2, "a b c y"),
+            (3, "z a b c"),
+            (4, "unrelated words here"),
+        ],
+    )
+    got = {
+        r.gram: r.n_docs
+        for r in boilerplate_ngrams(df, "text", "doc_id", n=3, min_docs=3).collect()
+    }
+    assert got == {"a b c": 3}
+
+
+def test_gopher_quality_flags(spark):
+    long_ok = " ".join(["word"] * 40)
+    short = "too short"
+    weird = " ".join(["zzzzzzzzzzzzzzzzzzzz"] * 40)  # mean len 20 > 10
+    symbols = " ".join(["@#$%"] * 40)  # symbol soup
+    df = _docs(spark, [(1, long_ok), (2, short), (3, weird), (4, symbols)])
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_flags(df, "text", "doc_id").collect()
+    }
+    assert rows[1].passed
+    assert not rows[2].tokens_ok and not rows[2].passed
+    assert not rows[3].word_shape_ok and not rows[3].passed
+    assert not rows[4].symbols_ok and not rows[4].passed
+
+
+def test_tfidf_terms(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "apple apple banana"),
+            (2, "en", "banana cherry"),
+            (3, "fr", "cherry cherry cherry"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {
+        (r.lang, r.token): r
+        for r in tfidf_terms(df, "text", "doc_id", "lang").collect()
+    }
+    # apple: tf=2 in en, df=1 of 3 docs -> 2*ln(3)
+    r = out[("en", "apple")]
+    assert r.tf == 2 and r.df == 1
+    assert abs(r.tfidf - round(2 * math.log(3.0), 6)) < 1e-9
+    # cherry appears in 2 docs: idf = ln(3/2)
+    r = out[("fr", "cherry")]
+    assert r.tf == 3 and r.df == 2
+    assert abs(r.tfidf - round(3 * math.log(1.5), 6)) < 1e-9
+
+
+def test_keep_best_per_cluster(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "id bigint, cluster_id bigint",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5)],
+        "doc_id bigint, n_chars bigint",
+    )
+    got = {
+        r.cluster_id: r.id
+        for r in keep_best_per_cluster(
+            clusters, docs, "doc_id", "n_chars"
+        ).collect()
+    }
+    # cluster 1: max n_chars tie between 2,3 -> smallest id 2
+    # cluster 7: tie between 7,8 -> 7
+    assert got == {1: 2, 7: 7}
