@@ -243,6 +243,46 @@ def tfidf_terms(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Perplexity-proxy quality score: per document, the mean
+    ln p(token) under the corpus's own unigram distribution — the
+    cheap language-model filter (docs of common words score high;
+    gibberish/rare-token soup scores low) a pipeline runs when a
+    real LM pass is too expensive.
+
+    Two explode-aggregates (both map-side partial): token counts
+    build the vocab, then each doc's tokens join the vocab and
+    average. The vocab is |distinct tokens|-sized — millions of rows
+    even at 100 TB (Heaps' law), so it broadcasts; set
+    ``broadcast_vocab=False`` to let AQE pick a shuffled join for
+    pathological vocabularies. The corpus token total rides along as
+    a 1-row broadcast cross join — no driver collect."""
+    toked = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    tok = toked.select(F.col(id_col), F.explode("__toks").alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.log(F.col("cnt") / F.col("__total"))).alias("logp")
+    )
+    if broadcast_vocab:
+        scored = F.broadcast(scored)
+    return (
+        tok.join(scored, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.round(F.avg("logp"), 4).alias("mean_logp"),
+        )
+    )
+
+
 def keep_best_per_cluster(
     clusters: DataFrame,
     docs: DataFrame,

@@ -86,6 +86,75 @@ def mixture_sample(
     return df.filter(_hex_bucket(F.col(key_col), 2) < thr)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    ntok_col: str,
+    seq_len: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest — the final step of
+    an LLM pretraining pipeline: documents are concatenated in
+    ``id_col`` order (within each ``partition_cols`` group) into one
+    token stream, which is cut into fixed ``seq_len`` training
+    sequences. Unlike :func:`pack_shards` (whole docs into size
+    buckets), documents here SPLIT across sequence boundaries; the
+    output is one row per (document, sequence) overlap:
+
+      ``seq_id``   — 0-based sequence index within the group
+      ``tok_start``/``tok_end`` — the within-document token span
+        [start, end) that lands in this sequence
+
+    so a writer can assemble every sequence exactly, and token
+    accounting (``sum(tok_end - tok_start) == sum(n_tok)``) is
+    auditable in SQL. Zero-token documents are dropped (they occupy
+    no span).
+
+    Scale: the running-offset window serializes per group — ``df``
+    here is (id, n_tok) metadata, never text, so a group of 10^8
+    docs is ~GBs through one task. Pack per (source, day)-style
+    groups (as real pipelines shard tokenizer output) and the window
+    parallelizes across groups; the explode fan-out is
+    ≤ 1 + n_tok/seq_len rows per doc — linear in corpus tokens."""
+    n = F.col(ntok_col)
+    w = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window
+    ).orderBy(id_col)
+    off = (
+        F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - n
+    ).alias("__off")
+    keep = list(partition_cols or []) + [id_col]
+    spans = (
+        df.filter(n > 0)
+        .select(*keep, n.cast("bigint").alias("__n"), off)
+        # materialize the window result before the explode below:
+        # seq bounds reference __off twice and generator filter
+        # inference would re-inline the window expression
+        .select(
+            *keep,
+            "__n",
+            "__off",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__off") / seq_len),
+                    F.floor((F.col("__off") + F.col("__n") - 1) / seq_len),
+                )
+            ).alias("seq_id"),
+        )
+    )
+    return spans.select(
+        *keep,
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.greatest(
+            F.col("seq_id") * seq_len - F.col("__off"), F.lit(0)
+        ).cast("bigint").alias("tok_start"),
+        F.least(
+            (F.col("seq_id") + 1) * seq_len - F.col("__off"), F.col("__n")
+        ).cast("bigint").alias("tok_end"),
+    )
+
+
 def pack_shards(
     df: DataFrame,
     key_col: str,

@@ -23,6 +23,7 @@ from big_data_processing_spark.functions.hygiene import (
     keep_best_per_cluster,
     repetition_stats,
     tfidf_terms,
+    unigram_logprob,
 )
 from big_data_processing_spark.functions.text import token_count
 from big_data_processing_spark.plans.registry import register
@@ -253,6 +254,67 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(pairs)
     return keep_best_per_cluster(clusters, docs, "doc_id", "n_chars").orderBy(
         "id"
+    )
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(t) AS token
+      FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+    ), vocab AS (
+      SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           round(avg(ln(cnt / total)), 4) AS mean_logp
+    FROM tok JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Perplexity-proxy quality score: per-doc mean ln p(token) "
+    "under the corpus unigram distribution — two partial-agg "
+    "explodes + a broadcast vocab join; the cheap LM filter",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, len({TOKS_SQL}) AS n FROM documents
+    ), o AS (
+      SELECT source, doc_id, n,
+             CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS BIGINT) AS off
+      FROM t WHERE n > 0
+    )
+    SELECT source, doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(seq_id * 64 - off, 0) AS BIGINT) AS tok_start,
+           CAST(least((seq_id + 1) * 64 - off, n) AS BIGINT) AS tok_end
+    FROM o, unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS u(seq_id)
+    ORDER BY source, doc_id, seq_id
+    """,
+    doc="Concat-and-chunk sequence packing manifest (seq_len=64, "
+    "packed per source): one row per (doc, sequence) overlap with "
+    "the within-doc token span — docs split across sequence "
+    "boundaries; token accounting audits in SQL",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.splits import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(meta, "doc_id", "n_tok", 64, ["source"]).orderBy(
+        "source", "doc_id", "seq_id"
     )
 
 

@@ -143,3 +143,19 @@ def test_keep_best_per_cluster(spark):
     # cluster 1: max n_chars tie between 2,3 -> smallest id 2
     # cluster 7: tie between 7,8 -> 7
     assert got == {1: 2, 7: 7}
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from big_data_processing_spark.functions.hygiene import unigram_logprob
+
+    df = _docs(spark, [(1, "a a b"), (2, "a b"), (3, "c")])
+    # vocab: a=3, b=2, c=1, total=6
+    rows = {r.doc_id: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    exp1 = (2 * math.log(3 / 6) + math.log(2 / 6)) / 3
+    assert rows[1].n_tok == 3
+    assert abs(rows[1].mean_logp - round(exp1, 4)) < 1e-9
+    assert abs(rows[3].mean_logp - round(math.log(1 / 6), 4)) < 1e-9
+    # common-word docs score higher than rare-word docs
+    assert rows[1].mean_logp > rows[3].mean_logp

@@ -106,3 +106,50 @@ def test_pack_shards_per_group(spark):
         packed.groupBy("lang").agg(F.min("shard_id").alias("m")).collect()
     )
     assert all(r.m == 0 for r in firsts)
+
+
+def test_pack_sequences_spans(spark):
+    from big_data_processing_spark.functions.splits import pack_sequences
+
+    meta = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 50), ("a", 3, 0), ("b", 9, 70)],
+        "src string, doc_id bigint, n_tok bigint",
+    )
+    got = [
+        (r.src, r.doc_id, r.seq_id, r.tok_start, r.tok_end)
+        for r in pack_sequences(meta, "doc_id", "n_tok", 64, ["src"])
+        .orderBy("src", "doc_id", "seq_id")
+        .collect()
+    ]
+    assert got == [
+        # group a: doc 1 tokens [0,100) -> seq 0 holds [0,64), seq 1 [64,100)
+        ("a", 1, 0, 0, 64),
+        ("a", 1, 1, 64, 100),
+        # doc 2 at offset 100 -> seq 1 gets [0,28), seq 2 [28,50)
+        ("a", 2, 1, 0, 28),
+        ("a", 2, 2, 28, 50),
+        # doc 3 has 0 tokens: dropped. group b restarts offsets
+        ("b", 9, 0, 0, 64),
+        ("b", 9, 1, 64, 70),
+    ]
+
+
+def test_pack_sequences_token_accounting(spark):
+    from big_data_processing_spark.functions.splits import pack_sequences
+
+    docs = load_table(spark, SF0001, "documents")
+    meta = docs.select(
+        "source", "doc_id", (F.col("n_chars") % 37 + 1).alias("n_tok")
+    )
+    packed = pack_sequences(meta, "doc_id", "n_tok", 16, ["source"])
+    total_spans = packed.agg(
+        F.sum(F.col("tok_end") - F.col("tok_start"))
+    ).collect()[0][0]
+    total_toks = meta.agg(F.sum("n_tok")).collect()[0][0]
+    assert total_spans == total_toks
+    # every span is non-empty and within the sequence length
+    bad = packed.filter(
+        (F.col("tok_end") <= F.col("tok_start"))
+        | (F.col("tok_end") - F.col("tok_start") > 16)
+    ).count()
+    assert bad == 0

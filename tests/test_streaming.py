@@ -195,3 +195,89 @@ def test_stream_static_join_enrichment(spark):
     prof = {r.user_id: r.lifetime_events for r in profile.collect()}
     for r in got.limit(50).collect():
         assert prof[r.user_id] == r.lifetime_events
+
+
+def test_streaming_dedup_drops_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps each key's first arrival
+    and suppresses re-deliveries, within and across batches."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_spark.streaming.dedup import dedup_stream
+
+    def ns(h, m=0):
+        return int(pd.Timestamp(2024, 1, 1, h, m).value)
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([float(r[2]) for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # batch 1 contains an in-batch duplicate of id 2; batch 2
+    # redelivers id 2 (different value — must NOT replace the
+    # original) plus a fresh id 3.
+    write(
+        tmp_path / "f1.parquet",
+        [(1, ns(10, 0), 1.0), (2, ns(10, 5), 2.0), (2, ns(10, 5), 99.0)],
+    )
+    write(tmp_path / "f2.parquet", [(2, ns(10, 6), 98.0), (3, ns(13, 0), 3.0)])
+    now = _time.time()
+    for i, name in enumerate(["f1", "f2"]):
+        t = now - 120 + i * 60
+        os.utime(tmp_path / f"{name}.parquet", times=(t, t))
+
+    stream = read_event_stream(spark, str(tmp_path), glob="*.parquet")
+    out = dedup_stream(stream, ["event_id"], watermark="2 hours")
+    got = run_stream_to_memory(out, "dedup_smoke", output_mode="append")
+    rows = sorted((r.event_id, r.value) for r in got.collect())
+    assert rows == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_streaming_dedup_fingerprint_key(spark, tmp_path):
+    """fingerprint=True dedups on md5 of the composite key with one
+    fixed-width state row; the helper column does not leak out."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_spark.streaming.dedup import dedup_stream
+
+    def ns(h, m=0):
+        return int(pd.Timestamp(2024, 1, 1, h, m).value)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([ns(10, 0), ns(10, 1), ns(10, 2)], pa.int64()),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "event_type": pa.array(["view", "view", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "f1.parquet")
+
+    stream = read_event_stream(spark, str(tmp_path), glob="*.parquet")
+    out = dedup_stream(
+        stream, ["user_id", "event_type"], watermark="1 hour", fingerprint=True
+    )
+    got = run_stream_to_memory(out, "dedup_fp_smoke", output_mode="append")
+    rows = sorted((r.user_id, r.event_id) for r in got.collect())
+    # user 7 deduped to first arrival; helper __fp column dropped
+    assert rows == [(7, 1), (8, 3)]
+    assert "__fp" not in got.columns
