@@ -108,7 +108,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.6,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -120,14 +120,18 @@ def minhash_near_duplicates(
     re-derived scan-side for the (small) candidate set.
 
     ``persist=True`` caches the signature and shingle intermediates
-    (MEMORY_AND_DISK) — each is referenced twice (band self-join /
-    the two verification joins), so without it the shingle pipeline
-    executes up to 4×. Unlike localCheckpoint (which erases both
-    partitioning and statistics and measured 5× SLOWER here),
-    persist keeps the optimized plan + stats, so Catalyst still
-    plans the joins correctly. Caches are LRU-evicted; pass
-    ``persist=False`` for one-shot pipelines that must not occupy
-    executor storage memory."""
+    (MEMORY_AND_DISK), each referenced twice (band self-join / the
+    two verification joins), so the shingle pipeline executes once
+    instead of up to 4×. Measured A/B at sf0.1 local[32]: persist is
+    ~35% SLOWER (3.4s → 4.6s warm) — the columnar cache build +
+    deserialize of wide shingle arrays costs more than re-running
+    cheap codegen over a local parquet, so the default is off. The
+    tradeoff flips when the input is expensive to reproduce (100 TB
+    object-store scans, an upstream join): then pass persist=True.
+    Unlike localCheckpoint (which erases partitioning AND statistics
+    and measured 5× slower here), persist keeps the optimized plan +
+    stats. Caller owns cleanup: caches are LRU-evicted or dropped by
+    ``spark.catalog.clearCache()``."""
     from pyspark import StorageLevel
 
     rows = num_perm // bands

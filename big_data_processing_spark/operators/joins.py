@@ -138,3 +138,54 @@ def asof_join(
         ],
     )
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_sec: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join: all (left, right) pairs per key with
+    ``right_ts ∈ [left_ts - max_gap_sec, left_ts]`` — every right
+    event at-or-before the left one within the gap (attribution,
+    sensor correlation). Batch twin of
+    ``streaming/joins.interval_join_streams``.
+
+    Spark-first formulation: a bare equi-join on the key with the
+    range as a post-filter is quadratic in events-per-key (one hot
+    key = one giant partition of all-pairs work). Instead both sides
+    get a coarse time bucket of ``max_gap_sec`` width appended to
+    the equi-join keys: a qualifying right row lives either in the
+    left row's bucket or the one before it, so the left side
+    explodes to those two bucket ids and the join runs on
+    (key, bucket) — pair work per task is bounded by events per
+    (key, gap-window), not per key, and the exact range predicate
+    filters inside the join. Each qualifying pair matches exactly
+    once (the right row's bucket id is unique). Only ``how='inner'``
+    is supported: the exploded left would emit spurious null-matches
+    under outer semantics — keep-unmatched-left cases are served by
+    :func:`asof_join` (latest match or null, one shuffle).
+    """
+    if how != "inner":
+        raise ValueError(f"interval_join supports inner only, not {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    l_bucket = F.floor(F.unix_timestamp(F.col(left_ts)) / max_gap_sec)
+    r_bucket = F.floor(F.unix_timestamp(F.col(right_ts)) / max_gap_sec)
+    lhs = left.withColumn(
+        "__bucket", F.explode(F.array(l_bucket - 1, l_bucket))
+    )
+    rhs = right.withColumn("__bucket", r_bucket)
+    in_range = (F.col(right_ts) <= F.col(left_ts)) & (
+        F.col(right_ts)
+        >= F.col(left_ts) - F.make_interval(secs=F.lit(max_gap_sec))
+    )
+    joined = lhs.join(rhs, [*keys, "__bucket"], "inner").filter(in_range)
+    out_cols = [
+        *left.columns,
+        *[c for c in right.columns if c not in set(keys)],
+    ]
+    return joined.select(*out_cols)

@@ -657,6 +657,61 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_click_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id, c.click_id,
+           round(epoch(p.ts) - epoch(c.ts), 6) AS gap_s
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    doc="Interval (range) join: ALL (purchase, click) pairs per user "
+    "with the click ≤1h before the purchase — bucketed range join "
+    "(time-bucket added to the equi-key) so pair work is bounded per "
+    "(user, hour), not per user; operators/joins.py interval_join",
+)
+def q_purchase_click_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_processing_spark.operators.joins import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    out = interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        max_gap_sec=3600,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.round(
+            F.col("p_ts").cast("double") - F.col("c_ts").cast("double"), 6
+        ).alias("gap_s"),
+    )
+
+
+@register(
     "customers_inactive_1998",
     """
     SELECT c_custkey, c_mktsegment FROM customer c

@@ -281,3 +281,50 @@ def test_streaming_dedup_fingerprint_key(spark, tmp_path):
     # user 7 deduped to first arrival; helper __fp column dropped
     assert rows == [(7, 1), (8, 3)]
     assert "__fp" not in got.columns
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Watermarked stream-stream interval join: each purchase pairs
+    with the same user's clicks within 1h before it, nothing else."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_spark.streaming.joins import (
+        purchase_click_attribution_stream,
+    )
+
+    def ns(h, m=0):
+        return int(pd.Timestamp(2024, 1, 1, h, m).value)
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, ns(9, 0), 1, "click"),      # >1h before purchase: excluded
+        (2, ns(10, 0), 1, "click"),     # within 1h: attributed
+        (3, ns(10, 30), 1, "click"),    # within 1h: attributed
+        (4, ns(10, 45), 1, "purchase"),
+        (5, ns(11, 0), 1, "click"),     # after purchase: excluded
+        (6, ns(10, 40), 2, "click"),    # other user
+        (7, ns(10, 50), 2, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "f1.parquet")
+
+    stream = read_event_stream(spark, str(tmp_path), glob="*.parquet")
+    out = purchase_click_attribution_stream(
+        stream, max_gap="1 hour", watermark="2 hours"
+    )
+    got = run_stream_to_memory(out, "attr_smoke", output_mode="append")
+    pairs = sorted((r.purchase_id, r.click_id) for r in got.collect())
+    assert pairs == [(4, 2), (4, 3), (7, 6)]
+    # key survives as one column
+    assert got.columns.count("user_id") == 1

@@ -192,3 +192,84 @@ def test_salted_join_rejects_right_preserving(spark):
     # left-preserving types still work
     n = salted_join(left, right, "k", salt=4, how="left_anti").count()
     assert n == 5
+
+
+def test_interval_join_pairs_and_boundaries(spark):
+    from big_data_processing_spark.operators.joins import interval_join
+
+    def ts(h, m=0, s=0):
+        return dt.datetime(2024, 1, 1, h, m, s)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(12, 0)), (1, 101, ts(15, 0)), (2, 200, ts(12, 0))],
+        "k long, lid long, l_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 900, ts(11, 0)),      # exactly max_gap before lid 100: kept
+            (1, 901, ts(10, 59, 59)), # just beyond the gap: dropped
+            (1, 902, ts(11, 30)),     # within gap of lid 100
+            (1, 903, ts(12, 0)),      # equal ts: kept
+            (1, 904, ts(12, 1)),      # after left: dropped for lid 100
+            (3, 905, ts(12, 0)),      # wrong key
+        ],
+        "k long, rid long, r_ts timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "k", "l_ts", "r_ts", max_gap_sec=3600
+        ).collect()
+    )
+    assert got == [(100, 900), (100, 902), (100, 903)]
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Bucketed formulation is exactly the naive equi-join + range
+    filter, pair for pair, on clustered random data."""
+    import random
+
+    from big_data_processing_spark.operators.joins import interval_join
+
+    rnd = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (rnd.randrange(5), i, base + dt.timedelta(seconds=rnd.randrange(20000)))
+        for i in range(200)
+    ]
+    rrows = [
+        (rnd.randrange(5), 1000 + i, base + dt.timedelta(seconds=rnd.randrange(20000)))
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(lrows, "k long, lid long, l_ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, rid long, r_ts timestamp")
+    gap = 1800
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "k", "l_ts", "r_ts", max_gap_sec=gap
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(right, "k")
+        .filter(
+            (F.col("r_ts") <= F.col("l_ts"))
+            & (
+                F.col("r_ts")
+                >= F.col("l_ts") - F.make_interval(secs=F.lit(gap))
+            )
+        )
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_interval_join_rejects_outer(spark):
+    import pytest
+
+    from big_data_processing_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k long, l_ts timestamp")
+    with pytest.raises(ValueError):
+        interval_join(left, left, "k", "l_ts", "l_ts", 60, how="left")
