@@ -59,6 +59,7 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             continue
         timings[name] = round(time.perf_counter() - start, 3)
+        print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         # isolate queries: a query that persists intermediates must
         # not tax the ones after it with storage-memory pressure
         spark.catalog.clearCache()

@@ -287,14 +287,27 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity for all pairs sharing a
     blocking key (e.g. language + length bucket). Returns
     (id_a, id_b, jaccard) with id_a < id_b.
 
-    Blocking keeps the self-join from being quadratic: pairs are
-    generated only within blocks, which is how pairwise dedup stays
-    feasible at corpus scale."""
+    Blocking keeps the self-join from being quadratic ACROSS blocks,
+    but within a block the inverted-index candidate work is
+    Σ_gram df(gram)² — quadratic in block size when grams are
+    ubiquitous (small-vocabulary corpora: measured 101× partials for
+    10× data on the sf1 scale replica). ``max_df`` is the scale
+    valve: candidate pairs are generated only from grams whose
+    block-local document frequency is ≤ max_df (bounding candidate
+    work at max_df × corpus grams — linear), then each candidate's
+    Jaccard is verified EXACTLY on the full gram arrays, so every
+    returned value is exact and every returned pair is real. The
+    approximation is one-sided recall: a pair sharing ONLY
+    ubiquitous grams is missed — precisely the pairs whose shared
+    evidence is least discriminative (the stop-word-dropping
+    standard from the similarity-join literature). ``max_df=None``
+    (default) is fully exact."""
     base = (
         _spread(
             df.select(
@@ -331,6 +344,53 @@ def ngram_jaccard_pairs(
     exploded = base.select(
         *block_cols, F.col(id_col), F.explode("grams").alias("g")
     )
+    if max_df is not None:
+        rare_grams = (
+            exploded.groupBy(*block_cols, "g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select(*block_cols, "g")
+        )
+        rare = exploded.join(rare_grams, on=[*block_cols, "g"])
+        cand = (
+            rare.select(*block_cols, F.col(id_col).alias("id_a"), "g")
+            .join(
+                rare.select(*block_cols, F.col(id_col).alias("id_b"), "g"),
+                on=[*block_cols, "g"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact verification on the full gram arrays — only the
+        # (small) candidate set pays the per-pair array shuffle
+        arrs_a = base.select(
+            F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")
+        )
+        arrs_b = base.select(
+            F.col(id_col).alias("id_b"), F.col("grams").alias("__gb")
+        )
+        verified = (
+            _spread(cand, "id_a", "id_b")
+            .join(arrs_a, on="id_a")
+            .join(arrs_b, on="id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__ga", "__gb")).alias("inter"),
+                F.size("__ga").alias("sz_a"),
+                F.size("__gb").alias("sz_b"),
+            )
+        )
+        union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+        jac = F.when(
+            union > 0, F.col("inter").cast("double") / union
+        ).otherwise(F.lit(0.0))
+        return (
+            verified.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     inter_counts = (
         exploded.select(*block_cols, F.col(id_col).alias("id_a"), "g")
         .join(

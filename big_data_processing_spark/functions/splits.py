@@ -181,3 +181,38 @@ def pack_shards(
     return df.withColumn(
         "shard_id", F.floor((running - F.col(size_col)) / F.lit(shard_budget))
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 1024,
+    seed: str = "0",
+) -> DataFrame:
+    """Seeded global shuffle for training-data ordering, as a
+    (shard, pos_in_shard) assignment: rows are ordered by
+    md5(seed:key) — uniform and uncorrelated with any data
+    attribute — and the hash's first 16 bits place each row in one
+    of ``n_shards`` contiguous hash-range shards. ``pos_in_shard``
+    is the row's rank within its shard, so a writer that emits
+    shards in id order, each sorted by pos, reproduces ONE global
+    deterministic permutation of the corpus — re-runnable bit-for-
+    bit on any engine with md5 (no seeded RNG, no engine-specific
+    hash). Changing ``seed`` gives an independent permutation
+    (epoch reshuffling).
+
+    Scale: the hash is a pure projection; the only wide op is the
+    per-shard rank window, which parallelizes across shards —
+    each shard sorts ~|corpus|/n_shards metadata rows. Size
+    n_shards so a shard's (key, hash) pairs fit one task."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))
+    )
+    v = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.floor(v * n_shards / F.lit(65536)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return out.withColumn(
+        "pos_in_shard", F.row_number().over(w).cast("bigint")
+    ).drop("__h")

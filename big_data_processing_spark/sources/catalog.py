@@ -53,12 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Files already written at µs/ms precision arrive as a real
         # timestamp (nanosAsLong only rewrites NANOS columns) — only
         # the nanos-long shape needs the conversion.
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            # files re-written at µs precision without a timezone
+            # (e.g. the sf1 scale replica) arrive as TIMESTAMP_NTZ,
+            # which rejects numeric casts downstream; reinterpret the
+            # wall-clock value in the session zone (UTC-pinned) so
+            # every SF presents one ts type
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

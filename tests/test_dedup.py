@@ -83,3 +83,41 @@ def test_ngram_jaccard_pairs_with_blocking(spark):
                                  threshold=0.5).collect()}
     assert (1, 2) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_max_df_subset_and_exact_values(spark):
+    """df-capped candidate generation returns a SUBSET of the exact
+    pairs, with identical (exact) jaccard values for every returned
+    pair; a generous cap reproduces the exact result in full."""
+    from big_data_processing_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang"], n=3, threshold=0.3
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang"], n=3, threshold=0.3, max_df=8
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j == exact[pair]
+    # generous cap (>= max block size) == fully exact
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang"], n=3, threshold=0.3,
+            max_df=10_000,
+        ).collect()
+    }
+    assert full == exact

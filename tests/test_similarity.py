@@ -213,3 +213,101 @@ def test_ann_recall_handles_zero_hits(spark):
     got = {r.query_id: (r.n_hit, r.recall) for r in ann_recall(exact, approx).collect()}
     assert got[1] == (1, 0.5)
     assert got[2] == (0, 0.0)
+
+
+def test_embedding_centroids_exact(spark):
+    from big_data_processing_spark.functions.similarity import (
+        embedding_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, [3.0, 6.0]),
+            (3, 1, [10.0, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        (r.label, r.pos): (r.n_vecs, r.mean_v)
+        for r in embedding_centroids(df).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2.0),
+        (0, 1): (2, 4.0),
+        (1, 0): (1, 10.0),
+        (1, 1): (1, 0.0),
+    }
+
+
+def test_cosine_near_dup_lsh_planted_dups(spark):
+    """At the high thresholds LSH is built for, planted near-dup
+    pairs are recovered with the predicted recall and every
+    returned pair matches the exact path's value."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(40):  # 40 planted pairs of highly-similar vectors
+        v = rng.normal(size=16)
+        w = v + rng.normal(scale=0.05, size=16)  # cos ≈ 0.998
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        rows.append((vid, [float(x) for x in w])); vid += 1
+    for _ in range(120):  # unrelated noise
+        rows.append((vid, [float(x) for x in rng.normal(size=16)])); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).withColumn("blk", F.lit(0))
+
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_near_dup_pairs(
+            df, ["blk"], "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_near_dup_pairs_lsh(
+            df, dim=16, id_col="vec_id", vec_col="embedding",
+            threshold=0.9, num_planes=8, num_tables=12,
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for p, c in approx.items():
+        assert c == exact[p]
+    # theoretical recall at cos≈0.99 is >0.999; allow slack
+    assert len(approx) >= 0.9 * len(exact) > 0
+
+
+def test_cosine_near_dup_ivf_subset_and_recall(spark):
+    from big_data_processing_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_ivf,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_near_dup_pairs(
+            emb, ["label"], "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_near_dup_pairs_ivf(
+            emb, "vec_id", "embedding", ["label"], threshold=0.3
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for p, c in approx.items():
+        assert c == exact[p]
+    assert len(exact) > 0
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"

@@ -153,3 +153,30 @@ def test_pack_sequences_token_accounting(spark):
         | (F.col("tok_end") - F.col("tok_start") > 16)
     ).count()
     assert bad == 0
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    from big_data_processing_spark.functions.splits import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id")
+    a = deterministic_shuffle(docs, "doc_id", n_shards=8, seed="42")
+    b = deterministic_shuffle(docs, "doc_id", n_shards=8, seed="42")
+    rows_a = {r.doc_id: (r.shard, r.pos_in_shard) for r in a.collect()}
+    rows_b = {r.doc_id: (r.shard, r.pos_in_shard) for r in b.collect()}
+    # same seed -> identical assignment; every doc present exactly once
+    assert rows_a == rows_b and len(rows_a) == docs.count()
+    # shards in range, positions contiguous from 1 within each shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in rows_a.values():
+        assert 0 <= shard < 8
+        by_shard[shard].append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed gives a different permutation
+    c = deterministic_shuffle(docs, "doc_id", n_shards=8, seed="43")
+    rows_c = {r.doc_id: (r.shard, r.pos_in_shard) for r in c.collect()}
+    assert rows_c != rows_a
