@@ -65,18 +65,39 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "warmup": warmup,
-            }
-        )
-    )
+
+    # Full per-query detail goes to a sidecar file; the stdout JSON
+    # line must stay SHORT — the driver locates it inside a bounded
+    # tail window of captured output (BENCH_r02 failed to parse when
+    # the line outgrew ~2000 chars), so cap it well under that.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
+            {"metric": "total_query_wall_time", "value": total,
+             "unit": "sec", "queries": timings, "sf": sf,
+             "warmup": warmup},
+            fh, indent=1)
+
+    shown = {k: round(v, 2) for k, v in timings.items()}
+    budget = 1400
+
+    def line(q: dict) -> str:
+        payload = {"metric": "total_query_wall_time", "value": total,
+                   "unit": "sec", "queries": q, "sf": sf,
+                   "warmup": warmup}
+        omitted = len(timings) - len(q)
+        if omitted:
+            payload["queries_omitted"] = omitted
+            payload["detail"] = "BENCH_DETAIL.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    # Drop the cheapest queries first until the line fits: the slow
+    # ones are the ones worth reading in the headline.
+    for name in sorted(shown, key=shown.get):
+        if len(line(shown)) <= budget:
+            break
+        del shown[name]
+    print(line(shown))
 
 
 if __name__ == "__main__":
