@@ -16,8 +16,14 @@ Scale notes
   sweat. This is the canonical legitimate checkpoint use —
   iterative algorithms — unlike the self-join "optimization" that
   SCALE.md warns about.
-- The per-round convergence check (count of changed labels) is one
-  scalar action; for fixed-round budgets drop it and loop blind.
+- Superseded rounds are FREED (``release_checkpoint``):
+  ``spark.catalog.clearCache()`` does not touch localCheckpoint
+  block storage, so without explicit release the loop leaks one
+  label frame per round — measured as a timed pass running slower
+  than its own warmup at sf0.1 (r3 bench).
+- Pointer jumping makes convergence ~log(diameter), so the
+  convergence count (a driver action) only runs every 2nd round —
+  worst case one extra cheap round, half the scalar actions.
 """
 
 from __future__ import annotations
@@ -25,7 +31,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from big_data_processing_spark.partitioning import spread
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind a ``localCheckpoint(eager=True)``
+    DataFrame. The frame is UNUSABLE afterwards — only call on frames
+    nothing references anymore (a superseded loop round). Best-effort:
+    a frame whose plan is not a bare checkpoint scan is left alone."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — non-checkpoint plan shapes
+        pass
 
 
 def connected_components(
@@ -63,7 +78,7 @@ def connected_components(
         eager=True
     )
 
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         nb = (
             sym.join(
                 labels.select(
@@ -94,15 +109,20 @@ def connected_components(
             ).alias("comp"),
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        converged = False
+        if round_no % 2 == 0 or round_no == max_iter:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            converged = changed == 0
+        release_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
+    release_checkpoint(sym)
     return labels
 
 

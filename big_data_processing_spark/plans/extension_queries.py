@@ -1284,20 +1284,13 @@ def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chains a~b~c collapse to one cluster even when a!~c directly",
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_processing_spark.operators.graph import dedup_clusters
+    from big_data_processing_spark.plans.doc_clusters import (
+        doc_near_dup_clusters,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "len_bucket", (F.col("n_chars") / 100).cast("long")
-    )
-    # max_df=200 bounds candidate work linearly at scale; it cannot
-    # drop a pair at the sf0.01 gate (max block-local gram df there
-    # is 50), so the exact-closure oracle above stays exact, and at
-    # sf0.1 the measured pair recall is 0.998
-    pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", ["lang", "len_bucket"], n=3,
-        threshold=0.3, max_df=200,
-    )
-    return dedup_clusters(pairs).orderBy("id")
+    # shared memoized builder — cluster_representatives consumes the
+    # same frame, so the pair graph + CC run once per corpus
+    return doc_near_dup_clusters(spark, sf_dir).orderBy("id")
 
 
 @register(

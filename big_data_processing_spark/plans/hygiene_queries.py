@@ -242,19 +242,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursive-CTE closure with an argmax window",
 )
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_processing_spark.functions.dedup import ngram_jaccard_pairs
-    from big_data_processing_spark.operators.graph import dedup_clusters
+    from big_data_processing_spark.plans.doc_clusters import (
+        doc_near_dup_clusters,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "len_bucket", (F.col("n_chars") / 100).cast("long")
-    )
-    # max_df=200: linear candidate work at scale, provably a no-op
-    # at the sf0.01 gate (max block df 50) — oracle stays exact
-    pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", ["lang", "len_bucket"], n=3,
-        threshold=0.3, max_df=200,
-    )
-    clusters = dedup_clusters(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    # shared memoized builder (plans/doc_clusters.py): the pair graph
+    # + CC run once per corpus; this query is then one join + window
+    clusters = doc_near_dup_clusters(spark, sf_dir)
     return keep_best_per_cluster(clusters, docs, "doc_id", "n_chars").orderBy(
         "id"
     )

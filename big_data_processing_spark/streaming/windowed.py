@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the stream reader uses
-# the nanos-as-long schema and converts exactly like sources/catalog.py.
+# Fallback schema when no file exists yet at stream start (landing-zone
+# dir that will be populated later): assume TIMESTAMP(NANOS)-as-long,
+# the corpus generator's original shape.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -50,15 +51,33 @@ def read_event_stream(
     File streams require a *directory* source; the corpus keeps one
     parquet file per table in one dir, so a glob filter selects just
     the events file. New files matching the glob are picked up
-    incrementally — the standard landing-zone ingestion pattern."""
+    incrementally — the standard landing-zone ingestion pattern.
+
+    ``ts`` has shipped in three physical shapes across corpus
+    generations (TIMESTAMP(NANOS) → nanos-long, TIMESTAMP(MICROS)
+    with/without tz). A streaming source needs an explicit schema, so
+    probe the footer with a batch read (footer-only, no data scan) and
+    declare whatever Spark itself infers — then normalize to one
+    session-zone µs timestamp exactly like sources/catalog.load_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        probe = (
+            spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+        )
+        schema, ts_type = probe.schema, dict(probe.dtypes).get("ts")
+    except Exception:  # no matching file yet — landing-zone start
+        schema, ts_type = EVENTS_STREAM_SCHEMA, "bigint"
     df = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":  # nanos since epoch → µs timestamp
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def hourly_event_counts(
