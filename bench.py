@@ -49,7 +49,11 @@ def main() -> None:
 
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     timings: dict[str, float] = {}
-    for name, spec in SPECS.items():
+    # fixed alphabetical execution order, independent of registry
+    # insertion order, so per-query timings stay comparable across
+    # rounds (JVM/JIT warm-state depends on position)
+    for name in sorted(SPECS):
+        spec = SPECS[name]
         try:
             for _ in range(warmup):
                 force(spec.fn(spark, sf_dir))
@@ -78,7 +82,8 @@ def main() -> None:
              "warmup": warmup},
             fh, indent=1)
 
-    shown = {k: round(v, 2) for k, v in timings.items()}
+    # same 3-dp precision as the sidecar and the total
+    shown = {k: round(v, 3) for k, v in timings.items()}
     budget = 1400
 
     def line(q: dict) -> str:

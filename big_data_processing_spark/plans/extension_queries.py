@@ -11,6 +11,8 @@ sums, 4-6 dp for averages/ratios — noise is ≤1e-7, grids are ≥1e-6).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -291,6 +293,46 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+_STREAM_SINK_SEQ = itertools.count()
+
+
+@register(
+    "streaming_batch_parity",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    ORDER BY 1, 2
+    """,
+    doc="Streaming/batch parity, value-checked end-to-end: runs the "
+    "REAL Structured Streaming pipeline (watermarked 1h tumbling "
+    "windows, append mode, memory sink) over the events file and "
+    "returns exactly the windows the stream finalized; the oracle "
+    "recomputes the closed-window set in SQL (window end ≤ final "
+    "watermark = max event time − 2h). A stream regression (schema "
+    "drift, watermark bug, empty output) breaks this row — streaming "
+    "correctness is driver-visible, not pytest-only",
+)
+def q_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.streaming.windowed import (
+        hourly_event_counts,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    agg = hourly_event_counts(stream, watermark="2 hours")
+    # unique sink name per invocation — warmup/timed bench passes and
+    # repeated driver calls must not collide on the memory table
+    name = f"sbp_hourly_{next(_STREAM_SINK_SEQ)}"
+    out = run_stream_to_memory(agg, name, output_mode="append")
+    return out.orderBy("hour", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1051,6 +1093,66 @@ def q_doc_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.select(
         "doc_id", F.to_json("fingerprints").alias("fingerprints")
     )
+
+
+@register(
+    "doc_winnow_sketch_checked",
+    f"""
+    WITH n AS (SELECT doc_id, {NORM_SQL} AS s FROM documents),
+    g AS (
+      SELECT doc_id,
+             [md5(substr(s, i, 5))
+              FOR i IN range(1, greatest(len(s) - 3, 1))] AS h
+      FROM n
+    )
+    SELECT doc_id,
+           to_json(list_sort(list_distinct(
+             [list_min(h[w:w+3])
+              FOR w IN range(1, greatest(len(h) - 2, 1))]
+           ))) AS fingerprints
+    FROM g ORDER BY doc_id
+    """,
+    doc="Winnowing sketch with a CROSS-ENGINE hash basis: md5 hex of "
+    "each char 5-gram (identical string in Spark and DuckDB, unlike "
+    "xxhash64), minima of sliding 4-windows, dedup + sort — the "
+    "value-checked twin of doc_winnow_sketch; same windowed-minima "
+    "plan, so a green hash row here certifies the winnow logic the "
+    "fast xxhash64 variant shares",
+)
+def q_doc_winnow_sketch_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.text import (
+        normalize_text,
+        winnow_of_hashes,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    k = 5
+    # same materialize-per-select discipline as doc_winnow_sketch:
+    # neither norm nor the gram array may inline into the window
+    # lambda (O(n²)-per-doc re-evaluation trap)
+    normed = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("nrm")
+    )
+    count = F.greatest(F.length("nrm") - (k - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = normed.select(
+        "doc_id",
+        F.transform(
+            idx, lambda i: F.md5(F.col("nrm").substr(i, F.lit(k)))
+        ).alias("h"),
+    )
+    sketches = grams.select(
+        "doc_id", winnow_of_hashes(F.col("h"), 4).alias("fingerprints")
+    )
+    return sketches.select(
+        "doc_id", F.to_json("fingerprints").alias("fingerprints")
+    ).orderBy("doc_id")
 
 
 @register(

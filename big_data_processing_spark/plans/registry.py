@@ -63,77 +63,11 @@ def _load_all() -> None:
     )
 
 
-# ---------------------------------------------------------------------------
-# Driver check-window rotation.
-#
-# The driver's correctness harness checks the FIRST 50 registered
-# queries in iteration order (CORRECTNESS_r01 and _r02 each contain
-# exactly the first 50 names; everything after position 50 got no
-# row either round). With >50 registered queries, we rotate which
-# ones occupy the window: queries that do NOT yet have a green
-# driver row come first, then a slice of previously-green anchors so
-# the core parity surface is re-verified every round. Queries pushed
-# past position 50 this round all have green rows in
-# CORRECTNESS_r01/r02 and stay covered by tools/oracle_check.py
-# locally.
-# ---------------------------------------------------------------------------
-
-_CHECK_WINDOW_HEAD: list[str] = [
-    # -- no driver row yet (registered after r02's window) --
-    "approx_distinct_users",
-    "doc_winnow_sketch",
-    "lineitem_measures_unpivot",
-    "events_sliding_2h",
-    "user_session_stats",
-    "hypertable_rollup",
-    "events_value_bands",
-    "near_dup_clusters",
-    "price_quantiles_by_flag",
-    "customer_order_gaps",
-    "pii_scrub",
-    "train_val_split",
-    "source_mixture_sample",
-    "corpus_shards",
-    "token_topk",
-    "deterministic_shuffle",
-    "embedding_centroids",
-    "embedding_near_dup_ivf",
-    "ngram_jaccard_capped",
-    "doc_repetition",
-    "benchmark_decontaminate",
-    "boilerplate_ngrams",
-    "gopher_quality_flags",
-    "tfidf_top_terms",
-    "cluster_representatives",
-    "unigram_logprob",
-    "sequence_packing",
-    "token_count_histogram",
-    # -- rotating anchors: previously green, re-verified this round --
-    "clean_range_filter",
-    "iqr_outlier_filter",
-    "bucketize",
-    "vendor_stats",
-    "quality_metrics",
-    "two_key_agg_sql",
-    "topk_orders",
-    "join_mktsegment_revenue",
-    "top_customers_per_nation",
-    "events_hourly",
-    "dedup_fingerprint",
-    "ngram_jaccard_pairs",
-    "cosine_topk",
-    "asof_purchase_click",
-]
-
-
-def _apply_check_window() -> None:
-    head = [n for n in _CHECK_WINDOW_HEAD if n in SPECS]
-    order = head + [n for n in SPECS if n not in head]
-    for registry in (SPECS, QUERIES, ORACLE_SQL):
-        ordered = {n: registry[n] for n in order if n in registry}
-        registry.clear()
-        registry.update(ordered)
-
+# Registries iterate in plain registration order (module import
+# order) — no harness-aware reordering. An external checker that
+# samples a prefix sees whatever order the modules register in;
+# full-surface coverage lives in tools/oracle_check.py, which runs
+# EVERY registered query against its oracle and writes
+# CORRECTNESS_FULL_r*.json.
 
 _load_all()
-_apply_check_window()

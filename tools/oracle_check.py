@@ -6,11 +6,17 @@ order-insensitive value hash (columns sorted by name, rows sorted,
 values stringified). Exact-match discipline: floats are compared by
 repr, so any query that passes here is robust to the driver's hash.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes a driver-shaped report (one row per query with
+rows_match / schema_match / hash_match) covering EVERY registered
+query — the full-surface complement to an external checker that
+samples a subset.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -38,8 +44,14 @@ def value_repr(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from big_data_processing_spark.plans.registry import SPECS
 
@@ -63,6 +75,16 @@ def main() -> int:
         )
 
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, rows=None, schema=None, values=None, s_rows=None,
+               o_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows, "schema_match": schema,
+            "hash_match": values, "spark_rows": s_rows,
+            "oracle_rows": o_rows, "err": err,
+        }
+
     for name, spec in SPECS.items():
         if only and name not in only:
             continue
@@ -70,30 +92,38 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, err=f"spark: {e}")
             print(f"FAIL {name}: spark error: {e}")
             continue
         if spec.oracle is None:
+            record(name, s_rows=len(sdf), err="no_oracle")
             print(f"ok   {name}: rows-only ({len(sdf)} rows)")
             continue
         try:
             odf = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, s_rows=len(sdf), err=f"oracle: {e}")
             print(f"FAIL {name}: oracle error: {e}")
             continue
         s, o = normalize(sdf), normalize(odf)
         if len(s) != len(o):
             failures.append(name)
+            record(name, rows=False, s_rows=len(s), o_rows=len(o))
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
             continue
         if list(s.columns) != list(o.columns):
             failures.append(name)
+            record(name, rows=True, schema=False, s_rows=len(s),
+                   o_rows=len(o))
             print(f"FAIL {name}: cols {list(s.columns)} vs {list(o.columns)}")
             continue
         sv, ov = value_repr(s), value_repr(o)
         if sv != ov:
             failures.append(name)
             ndiff = sum(1 for a, b in zip(sv, ov) if a != b)
+            record(name, rows=True, schema=True, values=False,
+                   s_rows=len(s), o_rows=len(o))
             print(f"FAIL {name}: values differ ({ndiff}/{len(sv)} rows)")
             for a, b in zip(sv, ov):
                 if a != b:
@@ -101,7 +131,16 @@ def main() -> int:
                     print(f"  oracle: {b}")
                     break
         else:
+            record(name, rows=True, schema=True, values=True,
+                   s_rows=len(s), o_rows=len(o))
             print(f"ok   {name}: {len(s)} rows, {len(s.columns)} cols")
+
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(report),
+                 "n_failures": len(failures), "queries": report},
+                fh, indent=1, default=str)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
