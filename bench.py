@@ -3,15 +3,19 @@ ONE JSON line {"metric", "value", "unit", "queries", "sf", "warmup"}.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
-     SPARK_GRAFT_BENCH_WARMUP (default 1).
+     SPARK_GRAFT_BENCH_WARMUP (default "adaptive").
 
 Each query is forced end-to-end with the noop sink (full
 computation, no driver-side result materialization cost). By
-default each query runs one UNTIMED warmup pass first: the timed
-pass then measures execution, not whole-stage-codegen compilation —
-the right proxy for large inputs, where compile time amortizes to
-zero. Set SPARK_GRAFT_BENCH_WARMUP=0 for cold timings; the JSON
-reports which mode ran.
+default each query runs UNTIMED warmup passes until its runtime
+stops improving by >20% (max 3 passes): the timed pass then
+measures steady-state execution, not whole-stage-codegen
+compilation or C2 JIT warm-up — the right proxy for large inputs,
+where compile time amortizes to zero. (A single fixed warmup was
+not enough: codegen-heavy queries measured 23.8 s → 12.0 s → 8.3 s
+on consecutive identical passes, so their "timed" number tracked
+bench POSITION, not the query.) Set SPARK_GRAFT_BENCH_WARMUP=<int>
+for a fixed pass count (0 = cold); the JSON reports which mode ran.
 """
 
 from __future__ import annotations
@@ -47,7 +51,7 @@ def main() -> None:
     # the query, not first-touch overhead.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    warmup_env = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "adaptive")
     timings: dict[str, float] = {}
     # fixed alphabetical execution order, independent of registry
     # insertion order, so per-query timings stay comparable across
@@ -55,8 +59,18 @@ def main() -> None:
     for name in sorted(SPECS):
         spec = SPECS[name]
         try:
-            for _ in range(warmup):
-                force(spec.fn(spark, sf_dir))
+            if warmup_env == "adaptive":
+                prev = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    force(spec.fn(spark, sf_dir))
+                    dt = time.perf_counter() - t0
+                    if prev is not None and dt >= 0.8 * prev:
+                        break  # steady state: <20% improvement
+                    prev = dt
+            else:
+                for _ in range(int(warmup_env)):
+                    force(spec.fn(spark, sf_dir))
             start = time.perf_counter()
             force(spec.fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
@@ -79,7 +93,7 @@ def main() -> None:
         json.dump(
             {"metric": "total_query_wall_time", "value": total,
              "unit": "sec", "queries": timings, "sf": sf,
-             "warmup": warmup},
+             "warmup": warmup_env},
             fh, indent=1)
 
     # same 3-dp precision as the sidecar and the total
@@ -89,7 +103,7 @@ def main() -> None:
     def line(q: dict) -> str:
         payload = {"metric": "total_query_wall_time", "value": total,
                    "unit": "sec", "queries": q, "sf": sf,
-                   "warmup": warmup}
+                   "warmup": warmup_env}
         omitted = len(timings) - len(q)
         if omitted:
             payload["queries_omitted"] = omitted
