@@ -696,3 +696,46 @@ def cosine_near_dup_pairs_ivf(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    compression step of an embedding pipeline (4× smaller than
+    float32; dot products on int8 with a per-vector scale recover
+    cosine to ~1e-2). Each vector is scaled by its max |component|:
+
+      ``scale``  — max_i |v_i| (dequantize: v_i ≈ scale · q_i / 127)
+      ``q``      — round(127 · v_i / scale) per component, in [-127, 127]
+
+    Rounding is ``floor(x + 0.5)`` — explicit half-up, bit-identical
+    in any engine (library ``round`` half-even/half-away variants
+    disagree on exact .5 ties). All-zero vectors quantize to zeros
+    with scale 0. Pure projection: no shuffle, no UDF — float→double
+    promotion is exact, so the arithmetic is reproducible anywhere
+    IEEE doubles are."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))).cast(
+        "double"
+    )
+    q = F.when(
+        scale > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(
+                F.lit(127.0) * x.cast("double") / F.col("__scale") + 0.5
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        df.select(F.col(id_col), v, scale.alias("__scale"))
+        .select(
+            id_col,
+            F.round(F.col("__scale"), 6).alias("scale"),
+            q.alias("__q"),
+        )
+        .select(id_col, "scale", F.to_json("__q").alias("q"))
+    )

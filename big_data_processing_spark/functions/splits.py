@@ -216,3 +216,113 @@ def deterministic_shuffle(
     return out.withColumn(
         "pos_in_shard", F.row_number().over(w).cast("bigint")
     ).drop("__h")
+
+
+def chunk_documents(
+    df: DataFrame,
+    toks_col: str,
+    id_col: str,
+    chunk_size: int = 16,
+    overlap: int = 4,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window
+    preparation step of a training/RAG pipeline: each document's
+    token array is cut into chunks of ``chunk_size`` tokens whose
+    starts advance by ``stride = chunk_size - overlap``, so
+    consecutive chunks share ``overlap`` tokens and no token is
+    dropped. Emits one row per chunk:
+
+      ``chunk_id``  — 0-based chunk index within the document
+      ``tok_start`` — 0-based token offset of the chunk
+      ``n_tok``     — chunk length (< chunk_size only for the tail)
+      ``chunk_text``— the chunk's tokens re-joined with spaces
+
+    Pure integer arithmetic on an already-materialized token array
+    (``toks_col`` must be a bound column, not an expression — the
+    same HOF-inlining discipline as winnowing); empty documents
+    emit no chunks. Chunk starts are multiples of the stride, so
+    downstream can recover ``chunk_id = tok_start / stride``
+    without ordinality.
+
+    Scale: one projection + one generator — no shuffle, no state;
+    fan-out is ≤ 1 + n_tok/stride rows per doc, linear in corpus
+    tokens."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.col(toks_col)
+    n = F.size(toks)
+    # n_chunks = 1 + ceil(max(n - chunk_size, 0) / stride), in exact
+    # integer arithmetic (identical across engines)
+    extra = F.greatest(n - chunk_size, F.lit(0))
+    n_chunks = F.lit(1) + F.floor(
+        (extra + (stride - 1)) / F.lit(stride)
+    ).cast("int")
+    starts = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    with_starts = df.select(
+        F.col(id_col), toks.alias("__toks"), starts.alias("__starts")
+    )
+    exploded = with_starts.select(
+        id_col,
+        "__toks",
+        F.explode("__starts").alias("tok_start"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("tok_start") + 1, chunk_size
+    )
+    return exploded.select(
+        id_col,
+        (F.col("tok_start") / stride).cast("bigint").alias("chunk_id"),
+        F.col("tok_start").cast("bigint"),
+        F.size(chunk).cast("bigint").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    key_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual /
+    multi-source sampling scheme of mC4 and XLM-R): group shares
+    p_k = n_k / N are flattened to q_k ∝ p_k^alpha, which boosts
+    low-resource groups without letting any group dominate. Since
+    q_k = n_k^alpha / Σ n_j^alpha, the global total cancels and one
+    tiny aggregate suffices. Emits per group:
+
+      ``n_docs``        — group size
+      ``raw_share``     — p_k
+      ``adj_share``     — q_k (the sampling distribution to draw from)
+      ``sample_weight`` — q_k / p_k (per-doc up/down-sampling factor,
+        the multiplier a mixture sampler feeds ``mixture_sample``)
+
+    Scale: one partial-agg groupBy over the corpus + a 1-row
+    broadcast join of the normalization constants — the group list
+    (languages, sources) is assumed driver-small."""
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    norms = counts.agg(
+        F.sum("n_docs").cast("double").alias("__tot"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), alpha)).alias(
+            "__tot_a"
+        ),
+    )
+    p = F.col("n_docs") / F.col("__tot")
+    q = F.pow(F.col("n_docs").cast("double"), alpha) / F.col("__tot_a")
+    return (
+        counts.crossJoin(F.broadcast(norms))
+        .select(
+            key_col,
+            "n_docs",
+            F.round(p, 6).alias("raw_share"),
+            F.round(q, 6).alias("adj_share"),
+            F.round(q / p, 6).alias("sample_weight"),
+        )
+    )

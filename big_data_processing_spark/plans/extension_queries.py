@@ -1713,3 +1713,118 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", ["lang", "len_bucket"], n=3,
         threshold=0.3, max_df=200,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Chunking, mixture rebalancing, embedding quantization
+# ---------------------------------------------------------------------------
+
+TOKS_EXT_SQL = f"list_filter(string_split({NORM_SQL}, ' '), x -> x <> '')"
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS_EXT_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest([ (i - 1) * 12
+                      FOR i IN range(1, 2 + CAST(
+                        floor((greatest(n - 16, 0) + 11) / 12) AS INT)) ])
+               AS tok_start
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(tok_start / 12 AS BIGINT) AS chunk_id,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(len(toks[tok_start + 1 : tok_start + 16]) AS BIGINT)
+             AS n_tok,
+           array_to_string(toks[tok_start + 1 : tok_start + 16], ' ')
+             AS chunk_text
+    FROM e ORDER BY doc_id, chunk_id
+    """,
+    doc="Sliding-window document chunking (16-token chunks, 4-token "
+    "overlap → stride 12): the context-window preparation step of a "
+    "training/RAG pipeline — one generator, no shuffle, every token "
+    "covered, tail chunks shorter",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.splits import chunk_documents
+    from big_data_processing_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    return chunk_documents(
+        toked, "toks", "doc_id", chunk_size=16, overlap=4
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "lang_temperature_mixture",
+    """
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS t,
+             sum(pow(CAST(n_docs AS DOUBLE), 0.3)) AS ta
+      FROM c
+    )
+    SELECT lang, n_docs,
+           round(n_docs / t, 6) AS raw_share,
+           round(pow(CAST(n_docs AS DOUBLE), 0.3) / ta, 6) AS adj_share,
+           round((pow(CAST(n_docs AS DOUBLE), 0.3) / ta)
+                 / (n_docs / t), 6) AS sample_weight
+    FROM c CROSS JOIN tot ORDER BY lang
+    """,
+    doc="Temperature-based language mixture rebalancing (mC4/XLM-R "
+    "alpha=0.3 scheme): flattens group shares p_k to q_k proportional "
+    "to p_k^alpha, boosting low-resource languages; emits the sampling "
+    "distribution and per-doc up/down-sampling factors a mixture "
+    "sampler consumes",
+)
+def q_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.splits import (
+        temperature_mixture_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_weights(docs, "lang", alpha=0.3).orderBy(
+        "lang"
+    )
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max([abs(x) FOR x IN embedding]) AS DOUBLE)
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           to_json(CASE WHEN scale > 0
+             THEN [CAST(floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5)
+                        AS INT) FOR x IN embedding]
+             ELSE [0 FOR x IN embedding] END) AS q
+    FROM s ORDER BY vec_id
+    """,
+    doc="Symmetric per-vector int8 embedding quantization (4x storage "
+    "cut for ANN at scale): scale = max |component|, explicit half-up "
+    "rounding (floor(x+0.5)) so the int codes are bit-identical in any "
+    "IEEE-double engine",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "embedding", "vec_id").orderBy("vec_id")

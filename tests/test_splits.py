@@ -180,3 +180,80 @@ def test_deterministic_shuffle_is_stable_permutation(spark):
     c = deterministic_shuffle(docs, "doc_id", n_shards=8, seed="43")
     rows_c = {r.doc_id: (r.shard, r.pos_in_shard) for r in c.collect()}
     assert rows_c != rows_a
+
+
+def test_chunk_documents_covers_every_token(spark):
+    from big_data_processing_spark.functions.splits import chunk_documents
+
+    rows = [
+        (1, [f"t{i}" for i in range(35)]),  # multi-chunk
+        (2, [f"t{i}" for i in range(7)]),  # single short chunk
+        (3, []),  # empty -> no chunks
+        (4, [f"t{i}" for i in range(16)]),  # exactly one full chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = chunk_documents(df, "toks", "doc_id", chunk_size=16, overlap=4)
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.tok_start, r.n_tok, r.chunk_text)
+        for r in out.collect()
+    )
+    # doc 1: starts 0,12,24 (n=35, stride 12); tail chunk 11 tokens
+    starts = [(d, s) for d, _, s, _, _ in got]
+    assert starts == [(1, 0), (1, 12), (1, 24), (2, 0), (4, 0)]
+    by_doc = {}
+    for d, cid, s, n, text in got:
+        toks = text.split(" ")
+        assert len(toks) == n
+        # chunk content matches the source slice
+        src = dict(rows)[d][s : s + 16]
+        assert toks == src
+        by_doc.setdefault(d, set()).update(range(s, s + n))
+    # every token of every non-empty doc is covered by some chunk
+    for d, toks in rows:
+        if toks:
+            assert by_doc[d] == set(range(len(toks)))
+
+
+def test_temperature_mixture_weights_flatten(spark):
+    from big_data_processing_spark.functions.splits import (
+        temperature_mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [("hi",)] * 90 + [("lo",)] * 10, "k string"
+    )
+    out = {
+        r.k: r for r in temperature_mixture_weights(df, "k", 0.5).collect()
+    }
+    assert out["hi"].n_docs == 90 and out["lo"].n_docs == 10
+    assert abs(out["hi"].raw_share - 0.9) < 1e-9
+    # alpha=0.5 flattens: sqrt(90)/(sqrt(90)+sqrt(10)) = 0.75
+    assert abs(out["hi"].adj_share - 0.75) < 1e-6
+    assert abs(out["hi"].adj_share + out["lo"].adj_share - 1.0) < 1e-6
+    # low-resource group is up-weighted, high-resource down-weighted
+    assert out["lo"].sample_weight > 1 > out["hi"].sample_weight
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import json
+
+    from big_data_processing_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (3, [2.0, 1.0, -2.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[1].scale == 1.0
+    assert json.loads(out[1].q) == [64, -127, 32, 0]  # floor(x+0.5) half-up
+    assert out[2].scale == 0.0 and json.loads(out[2].q) == [0, 0, 0, 0]
+    # dequantization error bounded by scale/254 per component
+    for vid, emb in rows:
+        scale, q = out[vid].scale, json.loads(out[vid].q)
+        assert all(abs(c) <= 127 for c in q)
+        for orig, code in zip(emb, q):
+            assert abs(orig - scale * code / 127.0) <= scale / 254 + 1e-9
