@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from big_data_processing_spark.functions.text import (
     char_ngram_hashes_of_norm,
+    char_ngrams_of_norm,
     md5_fingerprint,
     normalize_text,
 )
@@ -419,4 +420,178 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs on a CROSS-ENGINE hash basis:
+    permutation i of a gram is md5("i:" || gram), and the signature
+    component is the lexicographic MIN of those hex strings — md5 is
+    identical in every engine, so the whole pipeline (signatures →
+    band buckets → candidates → exact string-gram Jaccard) is
+    reproducible bit-for-bit in plain SQL, unlike the xxhash64 fast
+    path (:func:`minhash_near_duplicates`), whose basis is
+    engine-specific. This is the auditable twin: same banding
+    structure, same candidate semantics, same exact verification —
+    a green value-check here certifies the LSH logic the fast
+    variant shares.
+
+    Costs ~num_perm md5 calls per (doc, gram) and shuffles string
+    grams at verification, so production dedup at 100 TB should run
+    the xxhash64 variant; this one exists for audits and parity
+    gates. Same scale shape otherwise: band-bucket equi-join on ids,
+    never documents."""
+    rows = num_perm // bands
+    grams = (
+        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), normalize_text(F.col(text_col)).alias("nrm"))
+        .select(
+            F.col(id_col),
+            char_ngrams_of_norm(F.col("nrm"), shingle_n).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+    )
+    exploded = grams.select(F.col(id_col), F.explode("grams").alias("g"))
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("g")))
+        ).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    pairs = (
+        _spread(cand, "id_a", "id_b")
+        .join(
+            grams.select(
+                F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")
+            ),
+            on="id_a",
+        )
+        .join(
+            grams.select(
+                F.col(id_col).alias("id_b"), F.col("grams").alias("__gb")
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ga", "__gb")).alias("__i"),
+            F.size("__ga").alias("__sa"),
+            F.size("__gb").alias("__sb"),
+        )
+    )
+    jac = F.col("__i").cast("double") / (
+        F.col("__sa") + F.col("__sb") - F.col("__i")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def winnow_share_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MOSS-style copy detection: pairs of documents sharing at least
+    ``min_shared`` winnowing fingerprints — evidence of a common
+    substring of length ≥ k + window - 1 per shared fingerprint,
+    the complement of set-Jaccard dedup (which sees bags of grams,
+    not contiguous matches). Returns (id_a, id_b, n_shared).
+
+    Fingerprints with document frequency > ``max_df`` are excluded
+    from pairing: winnow minima of ubiquitous substrings (boilerplate,
+    stock phrases) would otherwise drive Σ df² candidate work
+    quadratic (measured Σ df² ≈ 5.9e8 at sf0.1 uncapped on this
+    corpus vs bounded ≤ max_df × total fingerprints capped). The cut
+    is DETERMINISTIC (a pure df filter), so results remain exactly
+    reproducible in SQL — unlike a sampled or probabilistic cut.
+
+    Hash basis is md5 (cross-engine); the sketch is ~|doc|/window
+    fingerprints, so this is the cheaper pairing substrate at scale
+    compared to raw gram inverted indexes."""
+    normed = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("nrm")
+    )
+    count = F.greatest(F.length("nrm") - (k - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashed = normed.select(
+        F.col(id_col),
+        F.transform(
+            idx, lambda i: F.md5(F.col("nrm").substr(i, F.lit(k)))
+        ).alias("h"),
+    )
+    from big_data_processing_spark.functions.text import winnow_of_hashes
+
+    # materialize the sketch BEFORE exploding: generator filter
+    # inference would otherwise inline the winnow HOF chain through
+    # the select boundaries and re-evaluate it per exploded row
+    # (the >390s-vs-8s trap documented at doc_winnow_sketch); the
+    # lineage cut also lets the df-filter join below reference the
+    # exploded frame twice without re-running the sketch
+    sk = hashed.select(
+        F.col(id_col), winnow_of_hashes(F.col("h"), window).alias("fps")
+    ).localCheckpoint(eager=False)
+    ex = sk.select(F.col(id_col), F.explode("fps").alias("fp"))
+    rare = ex.join(
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp"),
+        on="fp",
+    )
+    # fingerprints are distinct per doc (winnow dedups), so count(*)
+    # per pair IS the shared-fingerprint count
+    return (
+        rare.select(F.col(id_col).alias("id_a"), "fp")
+        .join(rare.select(F.col(id_col).alias("id_b"), "fp"), on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -1828,3 +1828,107 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb, "embedding", "vec_id").orderBy("vec_id")
+
+
+@register(
+    "minhash_near_dup_checked",
+    f"""
+    WITH n AS (SELECT doc_id, {NORM_SQL} AS s FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct([substr(s, i, 5)
+                            FOR i IN range(1, greatest(len(s) - 3, 1))])
+               AS grams
+      FROM n
+    ), g2 AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
+    sig AS (
+      SELECT doc_id,
+             [list_min([md5(CAST(p AS VARCHAR) || ':' || gr)
+                        FOR gr IN grams])
+              FOR p IN range(16)] AS m
+      FROM g2
+    ), bs AS (SELECT unnest([0, 1, 2, 3]) AS b),
+    banded AS (
+      SELECT doc_id, b,
+             md5(m[4*b + 1] || ',' || m[4*b + 2] || ',' ||
+                 m[4*b + 3] || ',' || m[4*b + 4]) AS bucket
+      FROM sig CROSS JOIN bs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                 / (len(ga.grams) + len(gb.grams)
+                    - len(list_intersect(ga.grams, gb.grams))), 6)
+             AS jaccard
+    FROM cand
+    JOIN g2 ga ON ga.doc_id = cand.id_a
+    JOIN g2 gb ON gb.doc_id = cand.id_b
+    WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+          / (len(ga.grams) + len(gb.grams)
+             - len(list_intersect(ga.grams, gb.grams))) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    doc="MinHash+LSH near-dup pairs on a cross-engine md5 basis "
+    "(16 perms × 4 bands, exact string-gram Jaccard verification): "
+    "the auditable, value-checked twin of minhash_near_dup — same "
+    "banding structure and candidate semantics, so this green hash "
+    "row certifies the LSH logic the engine-specific xxhash64 fast "
+    "path shares",
+)
+def q_minhash_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.dedup import (
+        minhash_near_duplicates_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates_md5(
+        docs, "text", "doc_id", num_perm=16, bands=4, shingle_n=5,
+        threshold=0.6,
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "winnow_share_pairs",
+    f"""
+    WITH n AS (SELECT doc_id, {NORM_SQL} AS s FROM documents),
+    g AS (
+      SELECT doc_id,
+             [md5(substr(s, i, 5))
+              FOR i IN range(1, greatest(len(s) - 3, 1))] AS h
+      FROM n
+    ), w AS (
+      SELECT doc_id,
+             unnest(list_sort(list_distinct(
+               [list_min(h[x:x+3])
+                FOR x IN range(1, greatest(len(h) - 2, 1))]
+             ))) AS fp
+      FROM g
+    ), rare AS (
+      SELECT fp FROM w GROUP BY fp HAVING count(*) <= 50
+    ), r AS (
+      SELECT w.doc_id, w.fp FROM w JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+    doc="MOSS-style copy detection: document pairs sharing >= 2 "
+    "winnowing fingerprints (each shared fingerprint witnesses a "
+    "common substring of length >= 8) — the contiguous-match "
+    "complement of set-Jaccard dedup. Fingerprints with df > 50 are "
+    "excluded (deterministic cut, mirrored by the oracle): ubiquitous "
+    "winnow minima would drive sum(df^2) candidate work quadratic",
+)
+def q_winnow_share_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.dedup import winnow_share_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_share_pairs(
+        docs, "text", "doc_id", k=5, window=4, max_df=50, min_shared=2
+    ).orderBy("id_a", "id_b")

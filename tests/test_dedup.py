@@ -121,3 +121,99 @@ def test_ngram_jaccard_max_df_subset_and_exact_values(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_minhash_md5_finds_planted_near_dup(spark):
+    from big_data_processing_spark.functions.dedup import (
+        minhash_near_duplicates_md5,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tail"),  # near-dup of 1
+        (3, "completely different content with nothing in common zzz"),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_duplicates_md5(
+            df, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in out and out[(1, 4)] == 1.0
+    assert (1, 2) in out and 0.5 <= out[(1, 2)] < 1.0
+    assert all(3 not in pair for pair in out)
+    # returned jaccard values are EXACT set-jaccard of char 5-grams
+    from big_data_processing_spark.functions.text import char_ngrams
+
+    import pyspark.sql.functions as F
+
+    grams = {
+        r.doc_id: set(r.g)
+        for r in df.select(
+            "doc_id", char_ngrams(F.col("text"), 5).alias("g")
+        ).collect()
+    }
+    for (a, b), j in out.items():
+        inter = len(grams[a] & grams[b])
+        exact = inter / (len(grams[a]) + len(grams[b]) - inter)
+        assert abs(j - round(exact, 6)) < 1e-9
+
+
+def test_winnow_share_pairs_substring_evidence(spark):
+    from big_data_processing_spark.functions.dedup import winnow_share_pairs
+
+    shared = "unique shared passage appearing twice verbatim here"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "other lead-in " + shared + " different tail"),
+        (3, "no overlap with anything else at all qqq www eee"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_share_pairs(
+            df, "text", "doc_id", min_shared=2
+        ).collect()
+    }
+    # the 50-char shared passage yields many shared fingerprints
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert all(3 not in pair for pair in out)
+
+    # df cap: a fingerprint present in MORE than max_df docs pairs
+    # nobody — 12 docs sharing one passage, cap 10 -> no pairs
+    words = [
+        "alpha", "bravo", "cedar", "delta", "ember", "frost",
+        "gamma", "haven", "ivory", "jumbo", "karma", "lemon",
+    ]
+    many = [
+        (i, f"{w}{w} " + shared + f" {w[::-1]}{w[::-1]}")
+        for i, w in enumerate(words)
+    ]
+    df2 = spark.createDataFrame(many, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_share_pairs(
+            df2, "text", "doc_id", max_df=1000, min_shared=1
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_share_pairs(
+            df2, "text", "doc_id", max_df=10, min_shared=1
+        ).collect()
+    }
+    # uncapped: the passage fingerprints pair everyone with strong
+    # evidence (all 66 pairs, many shared prints each)
+    assert len(uncapped) == 66 and max(uncapped.values()) >= 5
+    # capped: the passage prints live in all 12 docs (> cap) and are
+    # excluded; only incidental single-gram boundary coincidences
+    # remain (winnowing's guarantee is one-directional — a shared
+    # >=8-char substring implies a shared print, not conversely)
+    assert len(capped) < len(uncapped) / 4
+    assert all(n <= 2 for n in capped.values())
+    # and every surviving pair was already present uncapped with at
+    # least as much evidence (the cut only ever REMOVES evidence)
+    assert all(uncapped[p] >= n for p, n in capped.items())
