@@ -283,6 +283,77 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_smooth: float = 1.0,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Bigram-LM quality score with add-k smoothing: per document,
+    the mean ln P(w_i | w_{i-1}) under the corpus's own bigram
+    counts — one step up the CCNet ladder from
+    :func:`unigram_logprob` (a real LM filter ranks fluent text
+    above bag-of-common-words soup, which a unigram model cannot).
+
+      P(w | v) = (c(v,w) + k) / (c(v) + k·V),  V = |unigram vocab|
+
+    Shapes: token explode → bigram pairs via an index transform
+    (no self-join) → corpus bigram counts (partial agg) joined back
+    to each doc's bigrams. Bigram vocab ~ O(corpus) distinct pairs;
+    it broadcasts at these SFs — pass ``broadcast_vocab=False`` at
+    100 TB and AQE runs the shuffled join. Docs with < 2 tokens have
+    no bigram semantics and drop out."""
+    toked = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("__toks", i).alias("v"),
+                    F.element_at("__toks", i + 1).alias("w"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+    unigram = toked.select(F.explode("__toks").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cv")
+    )
+    vsize = unigram.agg(F.count(F.lit(1)).cast("double").alias("__V"))
+    bg_counts = bigrams.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("cvw")
+    )
+    scored = (
+        bg_counts.join(unigram, "v")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "v",
+            "w",
+            F.log(
+                (F.col("cvw") + F.lit(k_smooth))
+                / (F.col("cv") + F.lit(k_smooth) * F.col("__V"))
+            ).alias("logp"),
+        )
+    )
+    if broadcast_vocab:
+        scored = F.broadcast(scored)
+    return (
+        bigrams.join(scored, ["v", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("mean_logp"),
+        )
+    )
+
+
 def keep_best_per_cluster(
     clusters: DataFrame,
     docs: DataFrame,

@@ -345,3 +345,42 @@ def q_token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+@register(
+    "bigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+    ), bg AS (
+      SELECT doc_id, t[i] AS v, t[i + 1] AS w
+      FROM tok, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ), uni AS (
+      SELECT v, count(*) AS cv
+      FROM (SELECT doc_id, unnest(t) AS v FROM tok) GROUP BY v
+    ), vs AS (SELECT CAST(count(*) AS DOUBLE) AS vocab_n FROM uni),
+    bgc AS (
+      SELECT v, w, count(*) AS cvw FROM bg GROUP BY v, w
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((cvw + 1.0) / (cv + vocab_n))), 4) AS mean_logp
+    FROM bg
+    JOIN bgc ON bg.v = bgc.v AND bg.w = bgc.w
+    JOIN uni ON bg.v = uni.v
+    CROSS JOIN vs
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    doc="Bigram-LM quality score with add-1 smoothing: per-doc mean "
+    "ln P(w_i | w_(i-1)) under the corpus's own bigram counts — the "
+    "CCNet-style LM filter one step above the unigram proxy (ranks "
+    "fluent word order above bag-of-common-words soup); two explode "
+    "partial-aggs + a vocab join, no pairwise work",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.hygiene import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "text", "doc_id", k_smooth=1.0).orderBy(
+        "doc_id"
+    )

@@ -159,3 +159,23 @@ def test_unigram_logprob(spark):
     assert abs(rows[3].mean_logp - round(math.log(1 / 6), 4)) < 1e-9
     # common-word docs score higher than rare-word docs
     assert rows[1].mean_logp > rows[3].mean_logp
+
+
+def test_bigram_logprob_ranks_fluency(spark):
+    from big_data_processing_spark.functions.hygiene import bigram_logprob
+
+    # corpus where "a b" is the dominant transition; a doc with the
+    # common word ORDER scores higher than the same bag reversed
+    rows = [(i, "a b a b a b a b") for i in range(5)] + [
+        (100, "a b a b a b a b"),
+        (101, "b a b a b a b a"),  # same unigrams, rare transitions? no:
+        # "b a" is also frequent here; add a truly scrambled doc
+        (102, "b b b a a a a b"),
+        (103, "x"),  # single token -> no bigrams -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df, "text", "doc_id").collect()}
+    assert 103 not in out
+    assert out[100].n_bigrams == 7
+    # fluent doc beats the scrambled one under the corpus LM
+    assert out[100].mean_logp > out[102].mean_logp
