@@ -460,13 +460,25 @@ def minhash_near_duplicates_md5(
         .filter(F.size("grams") > 0)
     )
     exploded = grams.select(F.col(id_col), F.explode("grams").alias("g"))
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("g")))
-        ).alias(f"m{i}")
-        for i in range(num_perm)
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
+    # hash each DISTINCT gram once (num_perm md5s per vocab entry,
+    # not per gram instance — instances ≫ vocab on any real corpus),
+    # then join the per-gram signature row back to the instances;
+    # md5 is deterministic per gram, so results are identical to
+    # hashing inline, just cheaper
+    vocab_sigs = exploded.select("g").distinct().select(
+        "g",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("g"))).alias(
+                f"h{i}"
+            )
+            for i in range(num_perm)
+        ],
+    )
+    sig = (
+        exploded.join(vocab_sigs, "g")
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)])
+    )
 
     band_cols = [
         F.struct(

@@ -1845,9 +1845,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              [list_min([md5(CAST(p AS VARCHAR) || ':' || gr)
                         FOR gr IN grams])
-              FOR p IN range(16)] AS m
+              FOR p IN range(8)] AS m
       FROM g2
-    ), bs AS (SELECT unnest([0, 1, 2, 3]) AS b),
+    ), bs AS (SELECT unnest([0, 1]) AS b),
     banded AS (
       SELECT doc_id, b,
              md5(m[4*b + 1] || ',' || m[4*b + 2] || ',' ||
@@ -1873,11 +1873,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     doc="MinHash+LSH near-dup pairs on a cross-engine md5 basis "
-    "(16 perms × 4 bands, exact string-gram Jaccard verification): "
-    "the auditable, value-checked twin of minhash_near_dup — same "
-    "banding structure and candidate semantics, so this green hash "
-    "row certifies the LSH logic the engine-specific xxhash64 fast "
-    "path shares",
+    "(8 perms × 2 bands of 4 rows — same band row-length as the "
+    "fast path, exact string-gram Jaccard verification): the "
+    "auditable, value-checked twin of minhash_near_dup — a green "
+    "hash row here certifies the LSH logic the engine-specific "
+    "xxhash64 fast path shares, at half the audit hash cost",
 )
 def q_minhash_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.functions.dedup import (
@@ -1886,7 +1886,7 @@ def q_minhash_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates_md5(
-        docs, "text", "doc_id", num_perm=16, bands=4, shingle_n=5,
+        docs, "text", "doc_id", num_perm=8, bands=2, shingle_n=5,
         threshold=0.6,
     ).orderBy("id_a", "id_b")
 
