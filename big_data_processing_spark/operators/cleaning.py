@@ -81,3 +81,39 @@ def iqr_filter(
     (reference `spark_processor.py:120-133`; bounds inclusive)."""
     low, high = iqr_bounds(df, column, k=k, exact=exact)
     return df.filter(F.col(column).between(F.lit(low), F.lit(high)))
+
+
+def mad_bounds(
+    df: DataFrame, column: str, cutoff: float = 3.5, exact: bool = True
+) -> tuple[float, float]:
+    """Robust (median/MAD) outlier bounds — the Iglewicz-Hoaglin
+    modified z-score rule: keep x where
+    ``|0.6745 (x - median) / MAD| <= cutoff``. Unlike Tukey fences
+    (:func:`iqr_bounds`), MAD has a 50% breakdown point — a heavy
+    contaminated tail cannot drag the fence with it.
+
+    Two scalar aggregate jobs (median, then median absolute
+    deviation) — same bounded collect boundary as IQR; use
+    ``exact=False`` (sketch percentiles) at 100 TB."""
+    fn = "percentile" if exact else "percentile_approx"
+    med = float(
+        df.select(F.expr(f"{fn}({column}, 0.5)").alias("m")).first()["m"]
+    )
+    mad = float(
+        df.select(
+            F.expr(f"{fn}(abs({column} - {med!r}), 0.5)").alias("m")
+        ).first()["m"]
+    )
+    if mad == 0.0:  # degenerate: >50% of values identical
+        return med, med
+    half_width = cutoff * mad / 0.6745
+    return med - half_width, med + half_width
+
+
+def mad_filter(
+    df: DataFrame, column: str, cutoff: float = 3.5, exact: bool = True
+) -> DataFrame:
+    """Drop rows whose ``column`` fails the modified z-score rule
+    (bounds inclusive) — the robust sibling of :func:`iqr_filter`."""
+    low, high = mad_bounds(df, column, cutoff=cutoff, exact=exact)
+    return df.filter(F.col(column).between(F.lit(low), F.lit(high)))

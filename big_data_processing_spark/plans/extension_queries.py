@@ -1932,3 +1932,45 @@ def q_winnow_share_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_share_pairs(
         docs, "text", "doc_id", k=5, window=4, max_df=50, min_shared=2
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "customer_7d_revenue",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS rev_7d,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_7d
+    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="Time-RANGE rolling window (trailing 7 calendar days per "
+    "customer): frame bounds are event-time distances, not row "
+    "counts — ties on a date all see the same frame; Spark side uses "
+    "rangeBetween over epoch-days (range frames need a numeric "
+    "ordering key), the idiomatic translation of interval frames",
+)
+def q_customer_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.alias("__d"))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_7d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )

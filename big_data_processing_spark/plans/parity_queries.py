@@ -589,3 +589,29 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "mad_outlier_filter",
+    """
+    WITH m AS (
+      SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem
+    ), d AS (
+      SELECT any_value(m.med) AS med,
+             quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+      FROM lineitem l CROSS JOIN m
+    )
+    SELECT l.* FROM lineitem l CROSS JOIN d
+    WHERE l.l_extendedprice >= d.med - 3.5 * d.mad / 0.6745
+      AND l.l_extendedprice <= d.med + 3.5 * d.mad / 0.6745
+    """,
+    doc="Robust outlier removal via the Iglewicz-Hoaglin modified "
+    "z-score (median/MAD, cutoff 3.5): the 50%-breakdown-point "
+    "sibling of iqr_outlier_filter — a contaminated tail cannot drag "
+    "the fence; exact percentile for parity, percentile_approx at "
+    "scale",
+)
+def q_mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.cleaning import mad_filter
+
+    return mad_filter(_lineitem(spark, sf_dir), "l_extendedprice", exact=True)

@@ -81,3 +81,31 @@ def test_stratified_sample_fractions(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     assert abs(counts["true"] / 10_000 - 0.5) < 0.05
     assert abs(counts["false"] / 10_000 - 0.1) < 0.05
+
+
+def test_mad_filter_robust_to_contaminated_tail(spark):
+    from big_data_processing_spark.operators.cleaning import (
+        iqr_filter,
+        mad_filter,
+    )
+
+    # 70 inliers around 100 + a 30-point contaminated tail at 10_000:
+    # the tail is >25% of the data, so Tukey fences (q3 inside the
+    # tail's reach) widen, while MAD's 50% breakdown point holds firm
+    rows = [(i, 100.0 + (i % 7)) for i in range(70)] + [
+        (100 + i, 10_000.0 + i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double")
+    mad_kept = {r.id for r in mad_filter(df, "x").collect()}
+    assert mad_kept == set(range(70))  # tail fully rejected
+    iqr_kept = {r.id for r in iqr_filter(df, "x").collect()}
+    assert len(iqr_kept) > 70  # Tukey fence dragged by the tail
+
+    # degenerate corpus: >50% identical values -> MAD = 0 -> keep
+    # exactly the median value
+    df2 = spark.createDataFrame(
+        [(i, 5.0) for i in range(60)] + [(100 + i, 9.0) for i in range(40)],
+        "id long, x double",
+    )
+    kept2 = {r.id for r in mad_filter(df2, "x").collect()}
+    assert kept2 == set(range(60))
