@@ -1974,3 +1974,46 @@ def q_customer_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+@register(
+    "streaming_enrich_parity",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Stream-static enrichment, value-checked end-to-end: the "
+    "events STREAM joins the broadcast customer dimension per "
+    "micro-batch (the canonical streaming lookup — no state, no "
+    "watermark), then a complete-mode aggregation by market segment "
+    "lands in a memory sink; the oracle is the equivalent batch "
+    "join+group-by. Exercises the streaming join path the windowed "
+    "parity query does not",
+)
+def q_streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.streaming.joins import (
+        enrich_stream_static,
+    )
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = enrich_stream_static(stream, dim, "user_id", "c_custkey")
+    agg = (
+        enriched.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    name = f"sep_enrich_{next(_STREAM_SINK_SEQ)}"
+    out = run_stream_to_memory(agg, name, output_mode="complete")
+    return out.orderBy("mktsegment")

@@ -93,3 +93,24 @@ def purchase_click_attribution_stream(
         left_watermark=watermark,
         right_watermark=watermark,
     )
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Stream-static (dimension) enrichment join — the canonical
+    streaming lookup pattern: each micro-batch of the stream joins
+    the static dimension table as of that batch. No state, no
+    watermark requirement — the static side is re-resolvable per
+    batch (picks up dimension updates between batches for free with
+    a re-read source).
+
+    The dimension is broadcast: at 100 TB stream scale the dim table
+    (customers, catalogs) is the small side by construction; a
+    non-broadcast stream-static join would shuffle every micro-batch."""
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key]
+    )

@@ -328,3 +328,23 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     assert pairs == [(4, 2), (4, 3), (7, 6)]
     # key survives as one column
     assert got.columns.count("user_id") == 1
+
+
+def test_enrich_stream_static_matches_batch(spark):
+    from big_data_processing_spark.plans.registry import SPECS
+    import duckdb
+
+    got = SPECS["streaming_enrich_parity"].fn(spark, SF0001).collect()
+    con = duckdb.connect()
+    exp = con.execute(
+        SPECS["streaming_enrich_parity"].oracle.replace(
+            "FROM events e",
+            f"FROM read_parquet('{SF0001}/events.parquet') e",
+        ).replace(
+            "JOIN customer c",
+            f"JOIN read_parquet('{SF0001}/customer.parquet') c",
+        )
+    ).fetchall()
+    assert [(r.mktsegment, r.n_events, r.total_value) for r in got] == [
+        (a, b, c) for a, b, c in exp
+    ]
