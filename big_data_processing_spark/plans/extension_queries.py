@@ -2017,3 +2017,111 @@ def q_streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sep_enrich_{next(_STREAM_SINK_SEQ)}"
     out = run_stream_to_memory(agg, name, output_mode="complete")
     return out.orderBy("mktsegment")
+
+
+@register(
+    "doc_quality_deciles",
+    f"""
+    WITH q AS ({_QUALITY_ORACLE}),
+    d AS (
+      SELECT documents.lang, q.quality,
+             ntile(10) OVER (
+               PARTITION BY documents.lang
+               ORDER BY q.quality, q.doc_id
+             ) AS decile
+      FROM q JOIN documents ON q.doc_id = documents.doc_id
+    )
+    SELECT lang, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(quality), 4) AS min_q,
+           round(max(quality), 4) AS max_q
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Per-language quality deciles (ntile window over the rounded "
+    "composite score, doc_id tie-break): the bucketing a curriculum/"
+    "filtering pipeline uses to set per-language quality cutoffs",
+)
+def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    d = q.withColumn("decile", F.ntile(10).over(w))
+    return (
+        d.groupBy("lang", F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("quality"), 4).alias("min_q"),
+            F.round(F.max("quality"), 4).alias("max_q"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+@register(
+    "hourly_event_anomalies",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT hour, n,
+             count(*) OVER tf AS frame_n,
+             avg(n) OVER tf AS mean_24,
+             stddev_samp(n) OVER tf AS sd_24
+      FROM h
+      WINDOW tf AS (ORDER BY hour
+                    RANGE BETWEEN INTERVAL 23 HOUR PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT hour, n,
+           round(mean_24, 4) AS mean_24,
+           round(CASE WHEN sd_24 > 0 THEN (n - mean_24) / sd_24
+                      ELSE 0.0 END, 4) AS z,
+           abs(round(CASE WHEN sd_24 > 0 THEN (n - mean_24) / sd_24
+                          ELSE 0.0 END, 4)) > 3.0 AS anomaly
+    FROM w WHERE frame_n = 24 ORDER BY hour
+    """,
+    doc="Operational anomaly detection on the event stream: per-hour "
+    "counts z-scored against the trailing 24 hours (time-RANGE "
+    "frame); only full-frame hours emit. The hourly series is tiny "
+    "by construction (8.8k rows/year), so the global-order window is "
+    "driver-safe at any corpus scale — partition by stream/tenant "
+    "key when monitoring many series",
+)
+def q_hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hours = (F.unix_timestamp("hour") / 3600).cast("long")
+    tf = Window.orderBy(hours).rangeBetween(-23, 0)
+    w = h.select(
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(tf).alias("frame_n"),
+        F.avg("n").over(tf).alias("mean_24"),
+        F.stddev_samp("n").over(tf).alias("sd_24"),
+    )
+    z = F.when(
+        F.col("sd_24") > 0, (F.col("n") - F.col("mean_24")) / F.col("sd_24")
+    ).otherwise(F.lit(0.0))
+    return (
+        w.filter(F.col("frame_n") == 24)
+        .select(
+            "hour",
+            "n",
+            F.round("mean_24", 4).alias("mean_24"),
+            F.round(z, 4).alias("z"),
+            (F.abs(F.round(z, 4)) > 3.0).alias("anomaly"),
+        )
+        .orderBy("hour")
+    )
