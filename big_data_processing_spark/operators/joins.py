@@ -92,9 +92,15 @@ def asof_join(
     payload_cols: list[str],
     prefix: str = "asof_",
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
     """Point-in-time (as-of) join: attach to each left row the most
-    recent right row with ``right_ts <= left_ts``, per key.
+    recent right row with ``right_ts <= left_ts``, per key
+    (``direction="backward"``, the default) — or, with
+    ``direction="forward"``, the NEXT right row with
+    ``right_ts >= left_ts`` (e.g. each click matched to the user's
+    next purchase). Forward is the same union+window formulation
+    with the sort reversed; both directions match equal timestamps.
 
     Spark-first formulation: a naive range join is quadratic per key,
     so instead both sides are tagged and unioned, sorted once within
@@ -120,9 +126,15 @@ def asof_join(
         "__is_left", F.lit(1)
     )
     combined = lhs.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    elif direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__is_left").asc()]
+    else:
+        raise ValueError(f"direction must be backward|forward: {direction}")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = combined.withColumn(

@@ -2125,3 +2125,56 @@ def q_hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "asof_click_next_purchase",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           p.event_id AS purchase_event_id,
+           round(p.value, 6) AS purchase_value,
+           round(epoch(p.ts) - epoch(c.ts), 6) AS gap_s
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+    doc="FORWARD as-of join: each click matched to the user's NEXT "
+    "purchase at-or-after it (conversion attribution from the click "
+    "side) — same union+window as-of machinery with the sort "
+    "reversed; one shuffle, linear per key",
+)
+def q_asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["p_event_id", "value", "ts"],
+        prefix="nxt_",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("nxt_p_event_id").alias("purchase_event_id"),
+        F.round("nxt_value", 6).alias("purchase_value"),
+        F.round(
+            F.col("nxt_ts").cast("double") - F.col("ts").cast("double"), 6
+        ).alias("gap_s"),
+    ).orderBy("event_id")

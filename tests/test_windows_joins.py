@@ -273,3 +273,33 @@ def test_interval_join_rejects_outer(spark):
     left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k long, l_ts timestamp")
     with pytest.raises(ValueError):
         interval_join(left, left, "k", "l_ts", "l_ts", 60, how="left")
+
+
+def test_asof_join_forward_direction(spark):
+    from big_data_processing_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 50)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 20, "a"), ("k", 25, "b"), ("k", 40, "c")],
+        "k string, t long, tag string",
+    )
+    fwd = {
+        r.id: r.nxt_tag
+        for r in asof_join(
+            left, right, "k", "t", "t", ["tag"], prefix="nxt_",
+            direction="forward",
+        ).collect()
+    }
+    # next right at-or-after: 10->a(20), 25->b(equal ts matches), 50->None
+    assert fwd == {1: "a", 2: "b", 3: None}
+    bwd = {
+        r.id: r.prev_tag
+        for r in asof_join(
+            left, right, "k", "t", "t", ["tag"], prefix="prev_",
+            direction="backward",
+        ).collect()
+    }
+    assert bwd == {1: None, 2: "b", 3: "c"}
