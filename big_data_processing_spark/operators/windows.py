@@ -74,3 +74,47 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    step: str = "1 hour",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-series resampling: complete the ``ts_col`` grid from each
+    series' min to max at ``step`` intervals and FORWARD-FILL the
+    ``value_cols`` across the synthesized rows (the
+    resample().ffill() of a distributed engine). Adds a ``filled``
+    flag marking synthesized rows.
+
+    Plan shape: one aggregate for the per-series bounds, a generated
+    spine (explode of ``sequence``), a left join back, and one
+    ordered window per series for the fill. The spine is
+    |span/step| rows per series — tiny for monitoring-grade steps;
+    the fill window orders WITHIN each series, so width is bounded
+    by the longest single series, not the corpus."""
+    parts = list(partition_cols or [])
+    bounds = df.groupBy(*parts).agg(
+        F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
+    )
+    spine = bounds.select(
+        *parts,
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr(f"interval {step}"))
+        ).alias(ts_col),
+    )
+    joined = spine.join(
+        df.withColumn("__present", F.lit(True)), on=[*parts, ts_col],
+        how="left",
+    )
+    w = (
+        Window.partitionBy(*parts) if parts else Window.partitionBy()
+    ).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumn(
+        "filled", F.col("__present").isNull()
+    ).drop("__present")

@@ -2178,3 +2178,51 @@ def q_asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxt_ts").cast("double") - F.col("ts").cast("double"), 6
         ).alias("gap_s"),
     ).orderBy("event_id")
+
+
+@register(
+    "hourly_gap_fill",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 6) AS total
+      FROM events WHERE event_type = 'purchase' AND value > 150
+      GROUP BY 1
+    ), b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM h),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    )
+    SELECT s.hour,
+           last_value(h.n IGNORE NULLS) OVER w AS n,
+           last_value(h.total IGNORE NULLS) OVER w AS total,
+           h.hour IS NULL AS filled
+    FROM spine s LEFT JOIN h ON s.hour = h.hour
+    WINDOW w AS (ORDER BY s.hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY s.hour
+    """,
+    doc="Time-series gap fill (resample + forward-fill): the sparse "
+    "high-value-purchase hourly series completed to a full hourly "
+    "grid with synthesized rows carrying the last observation and a "
+    "filled flag — spine via sequence-explode, one ordered window "
+    "per series",
+)
+def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.windows import gap_fill
+
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        events.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+    )
+    return gap_fill(h, "hour", ["n", "total"], step="1 hour").orderBy(
+        "hour"
+    )

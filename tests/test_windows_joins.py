@@ -303,3 +303,31 @@ def test_asof_join_forward_direction(spark):
         ).collect()
     }
     assert bwd == {1: None, 2: "b", 3: "c"}
+
+
+def test_gap_fill_forward_fills_per_series(spark):
+    from big_data_processing_spark.operators.windows import gap_fill
+    import datetime as dt
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        ("a", t(0), 10.0),
+        ("a", t(3), 40.0),  # gap: hours 1,2 filled with 10.0
+        ("b", t(1), 5.0),
+        ("b", t(2), 6.0),  # no gap
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gap_fill(df, "ts", ["v"], step="1 hour", partition_cols=["k"])
+    got = {
+        (r.k, r.ts.hour): (r.v, r.filled) for r in out.collect()
+    }
+    assert got == {
+        ("a", 0): (10.0, False),
+        ("a", 1): (10.0, True),
+        ("a", 2): (10.0, True),
+        ("a", 3): (40.0, False),
+        ("b", 1): (5.0, False),
+        ("b", 2): (6.0, False),
+    }
