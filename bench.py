@@ -53,6 +53,28 @@ def main() -> None:
 
     warmup_env = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "adaptive")
     timings: dict[str, float] = {}
+
+    # The shared near-dup cluster frame (plans/doc_clusters.py) is
+    # memoized per application, so its one-time materialization would
+    # otherwise hide inside the first consumer's warmup pass and the
+    # suite total would understate true cold cost. Time the cold
+    # build as its OWN entry: the consuming queries
+    # (near_dup_clusters / cluster_representatives) then honestly
+    # report steady-state reads of the pinned frame.
+    from big_data_processing_spark.operators.graph import (
+        release_leaked_checkpoints,
+    )
+    from big_data_processing_spark.plans.doc_clusters import (
+        doc_near_dup_clusters,
+        pinned_rdd_ids,
+    )
+
+    t0 = time.perf_counter()
+    doc_near_dup_clusters(spark, sf_dir)  # eager checkpoint: materializes
+    timings["doc_cluster_build"] = round(time.perf_counter() - t0, 3)
+    print(f"bench: doc_cluster_build {timings['doc_cluster_build']}s "
+          "(cold, memoized for consumers)", file=sys.stderr)
+
     # fixed alphabetical execution order, independent of registry
     # insertion order, so per-query timings stay comparable across
     # rounds (JVM/JIT warm-state depends on position)
@@ -65,12 +87,14 @@ def main() -> None:
                     t0 = time.perf_counter()
                     force(spec.fn(spark, sf_dir))
                     dt = time.perf_counter() - t0
+                    release_leaked_checkpoints(spark, pinned_rdd_ids())
                     if prev is not None and dt >= 0.8 * prev:
                         break  # steady state: <20% improvement
                     prev = dt
             else:
                 for _ in range(int(warmup_env)):
                     force(spec.fn(spark, sf_dir))
+                    release_leaked_checkpoints(spark, pinned_rdd_ids())
             start = time.perf_counter()
             force(spec.fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
@@ -79,8 +103,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         # isolate queries: a query that persists intermediates must
-        # not tax the ones after it with storage-memory pressure
+        # not tax the ones after it — clearCache for Dataset-level
+        # persists, plus explicit release of leaked localCheckpoint
+        # blocks (clearCache does NOT touch those; accumulated dead
+        # blocks measurably inflated later queries' timings in r4),
+        # keeping only the deliberately-memoized cluster frame.
         spark.catalog.clearCache()
+        release_leaked_checkpoints(spark, pinned_rdd_ids())
 
     total = round(sum(timings.values()), 3)
 

@@ -28,19 +28,66 @@ Scale notes
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def release_checkpoint(df: DataFrame) -> None:
     """Free the storage blocks behind a ``localCheckpoint(eager=True)``
     DataFrame. The frame is UNUSABLE afterwards — only call on frames
-    nothing references anymore (a superseded loop round). Best-effort:
-    a frame whose plan is not a bare checkpoint scan is left alone."""
+    nothing references anymore (a superseded loop round).
+
+    Uses private plan internals (no public API frees checkpoint
+    blocks; ``spark.catalog.clearCache()`` does not touch them), so
+    it verifies the analyzed plan really is the checkpoint's
+    ``LogicalRDD`` scan before touching it, and WARNS instead of
+    silently no-opping when the shape is unexpected — a silent skip
+    would reintroduce the per-round block leak this exists to fix
+    (r3 bench: timed pass slower than its own warmup)."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — non-checkpoint plan shapes
-        pass
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            _log.warning(
+                "release_checkpoint: plan is %s, not LogicalRDD — "
+                "frame left alone (checkpoint blocks NOT freed)",
+                plan.getClass().getSimpleName(),
+            )
+            return
+        plan.rdd().unpersist(False)
+    except Exception as e:  # noqa: BLE001 — other Spark versions / shapes
+        _log.warning(
+            "release_checkpoint: could not free checkpoint blocks (%s); "
+            "storage may accumulate across loop rounds", e
+        )
+
+
+def release_leaked_checkpoints(spark, keep=()) -> int:
+    """Free EVERY persistent RDD in the context except ids in
+    ``keep`` — the between-queries hygiene a benchmark or test
+    harness needs. ``localCheckpoint`` blocks (e.g. the lazy
+    checkpoint guarding HOF re-inlining in ``_gram_table``) are NOT
+    cleared by ``spark.catalog.clearCache()``, so a harness that runs
+    many checkpoint-building queries back-to-back accumulates dead
+    blocks until storage pressure and GC churn dominate the timings
+    (measured: benchmark_decontaminate 1.4 s clean vs 3-18 s under
+    accumulated blocks). Deliberately-pinned frames (the memoized
+    cluster frame) must be passed in ``keep`` — freeing a
+    lineage-truncated frame someone still holds is a use-after-free.
+
+    Returns the number of RDDs released."""
+    keep = set(keep)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    freed = 0
+    for rid in list(jmap.keySet().toArray()):
+        if int(str(rid)) in keep:
+            continue
+        jmap.get(rid).unpersist(False)
+        freed += 1
+    return freed
 
 
 def connected_components(

@@ -89,8 +89,16 @@ def gap_fill(
     resample().ffill() of a distributed engine). Adds a ``filled``
     flag marking synthesized rows.
 
+    Semantics match pandas ``resample(step).ffill()``: genuine NULLs
+    in present rows are forward-filled too (ffill is value-based,
+    not presence-based). Input rows whose ``ts_col`` does not land
+    on the min-anchored grid are KEPT (the spine joins FULL OUTER,
+    not left), interleaved in fill order between their neighboring
+    grid points — so no observation is ever dropped; pre-truncate
+    ``ts_col`` to the grid if grid-only output is wanted.
+
     Plan shape: one aggregate for the per-series bounds, a generated
-    spine (explode of ``sequence``), a left join back, and one
+    spine (explode of ``sequence``), a full outer join back, and one
     ordered window per series for the fill. The spine is
     |span/step| rows per series — tiny for monitoring-grade steps;
     the fill window orders WITHIN each series, so width is bounded
@@ -107,8 +115,13 @@ def gap_fill(
     )
     joined = spine.join(
         df.withColumn("__present", F.lit(True)), on=[*parts, ts_col],
-        how="left",
+        how="full",
     )
+    # Empty ``parts`` → a single global ordered window (one task holds
+    # the whole series). That is ONLY safe for a pre-aggregated single
+    # series whose row count is bounded by span/step (e.g. an hourly
+    # rollup: 8.8k rows/year); for per-key series ALWAYS pass
+    # ``partition_cols`` so the fill parallelizes per series.
     w = (
         Window.partitionBy(*parts) if parts else Window.partitionBy()
     ).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -15,8 +15,12 @@ caller's cache hygiene (`spark.catalog.clearCache()` between bench /
 driver queries clears the CacheManager but not checkpoint block
 storage), and the frame is tiny — (id, cluster_id, bool) per
 document, never document payloads — so pinning it is cheap at any
-scale. Entries for other keys are freed on replacement
-(`release_checkpoint`) so storage stays bounded at one frame.
+scale. One entry is kept PER (applicationId, dir, params) key —
+frames handed to earlier callers stay valid for the life of the
+application (releasing them on a later call with a different key
+would be a use-after-free for anyone still holding the old frame).
+Entries of stopped applications are dropped from the dict only;
+their block storage died with the context.
 """
 
 from __future__ import annotations
@@ -27,10 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_processing_spark.functions.dedup import ngram_jaccard_pairs
-from big_data_processing_spark.operators.graph import (
-    dedup_clusters,
-    release_checkpoint,
-)
+from big_data_processing_spark.operators.graph import dedup_clusters
 from big_data_processing_spark.sources.catalog import load_table
 
 # Canonical near-dup parameters shared by every consumer — part of
@@ -40,6 +41,21 @@ THRESHOLD = 0.3
 MAX_DF = 200
 
 _CACHE: dict[tuple, DataFrame] = {}
+
+
+def pinned_rdd_ids() -> set[int]:
+    """RDD ids of the memoized cluster frames — the keep-set for
+    ``release_leaked_checkpoints`` so harness-level block hygiene
+    never frees a frame consumers still hold."""
+    ids: set[int] = set()
+    for df in _CACHE.values():
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                ids.add(int(str(plan.rdd().id())))
+        except Exception:  # noqa: BLE001 — stopped context etc.
+            pass
+    return ids
 
 
 def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,9 +94,14 @@ def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=MAX_DF,
     )
     clusters = dedup_clusters(pairs).localCheckpoint(eager=True)
+    # Drop (dict-only) entries of stopped applications — their block
+    # storage died with the context. Same-app entries are KEPT, one
+    # per (dir, params): releasing a live frame an earlier caller may
+    # still hold would be a use-after-free, and each frame is a few
+    # bytes per document id, so the bound is params-combinations, not
+    # unbounded growth.
     for old_key in list(_CACHE):
-        stale = _CACHE.pop(old_key)
-        if old_key[0] == key[0]:  # same live context: free its blocks
-            release_checkpoint(stale)
+        if old_key[0] != key[0]:
+            del _CACHE[old_key]
     _CACHE[key] = clusters
     return clusters

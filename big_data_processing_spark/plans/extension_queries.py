@@ -2226,3 +2226,124 @@ def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill(h, "hour", ["n", "total"], step="1 hour").orderBy(
         "hour"
     )
+
+
+@register(
+    "series_gap_fill",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 6) AS total
+      FROM events WHERE value > 150 GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(hour) AS mn, max(hour) AS mx
+      FROM h GROUP BY 1
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    )
+    SELECT s.event_type, s.hour,
+           last_value(h.n IGNORE NULLS) OVER w AS n,
+           last_value(h.total IGNORE NULLS) OVER w AS total,
+           h.hour IS NULL AS filled
+    FROM spine s
+    LEFT JOIN h ON s.event_type = h.event_type AND s.hour = h.hour
+    WINDOW w AS (PARTITION BY s.event_type ORDER BY s.hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY s.event_type, s.hour
+    """,
+    doc="PARTITIONED gap fill — the scale-safe sibling of "
+    "hourly_gap_fill: one sparse hourly series PER event_type, each "
+    "completed to its own min..max hourly grid and forward-filled "
+    "inside a window partitioned by the series key, so the fill "
+    "parallelizes per series (no single-partition WindowExec) and "
+    "the pattern is copy-safe for millions of series",
+)
+def q_series_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.windows import gap_fill
+
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        events.filter(F.col("value") > 150)
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+    )
+    return gap_fill(
+        h, "hour", ["n", "total"], step="1 hour",
+        partition_cols=["event_type"],
+    ).select("event_type", "hour", "n", "total", "filled").orderBy(
+        "event_type", "hour"
+    )
+
+
+@register(
+    "series_event_anomalies",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, hour, n,
+             count(*) OVER tf AS frame_n,
+             avg(n) OVER tf AS mean_24,
+             stddev_samp(n) OVER tf AS sd_24
+      FROM h
+      WINDOW tf AS (PARTITION BY event_type ORDER BY hour
+                    RANGE BETWEEN INTERVAL 23 HOUR PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT event_type, hour, n,
+           round(mean_24, 4) AS mean_24,
+           round(CASE WHEN sd_24 > 0 THEN (n - mean_24) / sd_24
+                      ELSE 0.0 END, 4) AS z,
+           abs(round(CASE WHEN sd_24 > 0 THEN (n - mean_24) / sd_24
+                          ELSE 0.0 END, 4)) > 3.0 AS anomaly
+    FROM w WHERE frame_n = 24 ORDER BY event_type, hour
+    """,
+    doc="PARTITIONED trailing-24h anomaly z-scores — the scale-safe "
+    "sibling of hourly_event_anomalies: one monitored series per "
+    "event_type, the time-RANGE frame partitioned by the series key "
+    "so state stays per-series and the window parallelizes (no "
+    "single-partition WindowExec)",
+)
+def q_series_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hours = (F.unix_timestamp("hour") / 3600).cast("long")
+    tf = Window.partitionBy("event_type").orderBy(hours).rangeBetween(-23, 0)
+    w = h.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(tf).alias("frame_n"),
+        F.avg("n").over(tf).alias("mean_24"),
+        F.stddev_samp("n").over(tf).alias("sd_24"),
+    )
+    z = F.when(
+        F.col("sd_24") > 0, (F.col("n") - F.col("mean_24")) / F.col("sd_24")
+    ).otherwise(F.lit(0.0))
+    return (
+        w.filter(F.col("frame_n") == 24)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round("mean_24", 4).alias("mean_24"),
+            F.round(z, 4).alias("z"),
+            (F.abs(F.round(z, 4)) > 3.0).alias("anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )

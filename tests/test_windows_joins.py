@@ -331,3 +331,42 @@ def test_gap_fill_forward_fills_per_series(spark):
         ("b", 1): (5.0, False),
         ("b", 2): (6.0, False),
     }
+
+
+def test_release_leaked_checkpoints_respects_keep_set(spark):
+    from big_data_processing_spark.operators.graph import (
+        release_leaked_checkpoints,
+    )
+
+    kept = spark.range(10).localCheckpoint(eager=True)
+    leaked = spark.range(20).localCheckpoint(eager=True)
+    kept_id = int(str(kept._jdf.queryExecution().analyzed().rdd().id()))
+    freed = release_leaked_checkpoints(spark, keep={kept_id})
+    assert freed >= 1
+    # the kept frame must still be fully usable after the sweep
+    assert kept.count() == 10
+    del leaked
+
+
+def test_gap_fill_keeps_unaligned_observations(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.windows import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 1.0),
+            ("2024-01-01 00:30:00", 7.0),   # off the hourly grid
+            ("2024-01-01 02:00:00", 3.0),
+        ],
+        "ts string, v double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    rows = {
+        r.ts.isoformat(): (r.v, r.filled)
+        for r in gap_fill(df, "ts", ["v"], step="1 hour").collect()
+    }
+    # unaligned 00:30 row survives (full outer join), not dropped
+    assert rows["2024-01-01T00:30:00"] == (7.0, False)
+    # the 01:00 grid row forward-fills from the unaligned neighbor
+    assert rows["2024-01-01T01:00:00"] == (7.0, True)
+    assert rows["2024-01-01T02:00:00"] == (3.0, False)

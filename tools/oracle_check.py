@@ -48,6 +48,10 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: oracle_check.py [--json OUT.json] [sf_dir] [query ...]",
+                  file=sys.stderr)
+            return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -85,6 +89,11 @@ def main() -> int:
             "oracle_rows": o_rows, "err": err,
         }
 
+    from big_data_processing_spark.operators.graph import (
+        release_leaked_checkpoints,
+    )
+    from big_data_processing_spark.plans.doc_clusters import pinned_rdd_ids
+
     for name, spec in SPECS.items():
         if only and name not in only:
             continue
@@ -95,6 +104,12 @@ def main() -> int:
             record(name, err=f"spark: {e}")
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            # free leaked localCheckpoint blocks between queries
+            # (clearCache does not touch them); keep the memoized
+            # cluster frame
+            spark.catalog.clearCache()
+            release_leaked_checkpoints(spark, pinned_rdd_ids())
         if spec.oracle is None:
             record(name, s_rows=len(sdf), err="no_oracle")
             print(f"ok   {name}: rows-only ({len(sdf)} rows)")
