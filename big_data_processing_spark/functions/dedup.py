@@ -31,6 +31,7 @@ from big_data_processing_spark.functions.text import (
     char_ngrams_of_norm,
     md5_fingerprint,
     normalize_text,
+    tokens,
 )
 
 from big_data_processing_spark.partitioning import spread as _spread
@@ -536,6 +537,90 @@ def minhash_near_duplicates_md5(
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_duplicates_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs on a CROSS-ENGINE hash basis: each
+    token's 32-bit hash is the first 8 hex chars of md5(token), so
+    the whole pipeline — bit votes → 32-bit simhash → 8-bit-chunk
+    banding → ``bit_count(xor) <= max_hamming`` verification — is
+    reproducible bit-for-bit in plain SQL. The auditable twin of
+    :func:`simhash_near_duplicates` (engine-specific xxhash64, 64
+    bits): same vote semantics (token multiplicity counts, ties
+    clear the bit), same pigeonhole banding structure (4 chunks
+    guarantee recall for hamming ≤ 3), same verification — a green
+    value-check here certifies the banding/vote logic the fast
+    variant shares.
+
+    Costs one md5 per DISTINCT token (vocab-hashed once, joined
+    back) and a 32× bit explode, so production dedup should run the
+    64-bit xxhash64 variant; this exists for audits and parity
+    gates. Scale shape is identical: chunk-bucket equi-join on
+    (id, simhash) only, never text."""
+    toks = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    # hash each distinct token once; md5 is deterministic, so this
+    # is identical to hashing inline, at vocab cost not instance cost
+    vocab = toks.select("t").distinct().select(
+        "t",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    hashed = toks.join(vocab, "t").select(id_col, "h")
+    bits = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        "h",
+    ).select(
+        id_col,
+        "bit",
+        F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("v"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("v").alias("vs"))
+    sim_table = votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vs") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("sh")
+    )
+    # chunk self-join references sim on both sides — materialize once
+    # (same checkpoint guard as simhash_near_duplicates)
+    sim = _spread(sim_table, id_col).localCheckpoint(eager=False)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.expr(f"shiftright(sh, {8 * c}) & 255").alias("key"),
+        )
+        for c in range(4)
+    ])
+    banded = sim.select(
+        id_col, "sh", F.explode(chunks).alias("cc")
+    ).select(id_col, "sh", "cc.chunk", "cc.key")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("h_a"),
+        "chunk", "key",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("h_b"),
+        "chunk", "key",
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        left.join(right, on=["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -2347,3 +2347,59 @@ def q_series_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "simhash_near_dup_checked",
+    f"""
+    WITH n AS (SELECT doc_id, {NORM_SQL} AS s FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(s, ' ')) AS t
+      FROM n WHERE s <> ''
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, b.bit AS bit,
+             sum(((h >> b.bit) & 1) * 2 - 1) AS vs
+      FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+      GROUP BY 1, 2
+    ), sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vs > 0
+                           THEN CAST(1 AS BIGINT) << bit
+                           ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY 1
+    ), banded AS (
+      SELECT doc_id, sh, c.chunk AS chunk,
+             (sh >> (8 * c.chunk)) & 255 AS key
+      FROM sim CROSS JOIN (SELECT unnest(range(4)) AS chunk) c
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS ha, b.sh AS hb
+      FROM banded a
+      JOIN banded b ON a.chunk = b.chunk AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash near-dup pairs on a cross-engine md5 basis (32-bit "
+    "token hashes from md5 hex prefixes, 4 chunks of 8 bits, "
+    "hamming <= 3): the auditable, value-checked twin of "
+    "simhash_near_dup — a green hash row here certifies the "
+    "vote/banding/verification logic the engine-specific 64-bit "
+    "xxhash64 fast path shares",
+)
+def q_simhash_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.dedup import (
+        simhash_near_duplicates_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates_md5(
+        docs, "text", "doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")

@@ -72,6 +72,58 @@ def test_simhash_is_64bit_long(spark, docs):
     assert by_id[1] == by_id[4]
 
 
+
+def test_simhash_md5_twin_matches_fast_path_semantics(docs):
+    from big_data_processing_spark.functions.dedup import (
+        simhash_near_duplicates_md5,
+    )
+
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_near_duplicates_md5(docs, "text", "doc_id").collect()}
+    assert out.get((1, 4)) == 0  # identical docs -> identical simhash
+    assert (1, 3) not in out and (2, 3) not in out  # unrelated doc
+
+
+def test_simhash_md5_basis_is_engine_reproducible(docs):
+    """The twin's per-doc 32-bit simhash must be recomputable from
+    md5 hex prefixes alone (the property the DuckDB oracle relies
+    on): recompute in pure Python and compare."""
+    import hashlib
+
+    from big_data_processing_spark.functions.dedup import (
+        simhash_near_duplicates_md5,
+    )
+
+    rows = docs.select("doc_id", "text").collect()
+
+    def sim32(text):
+        toks = [t for t in " ".join(text.lower().split()).split(" ") if t]
+        if not toks:
+            return None
+        votes = [0] * 32
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(32) if votes[b] > 0)
+
+    expect = {}
+    sims = {r.doc_id: sim32(r.text) for r in rows}
+    ids = sorted(sims)
+    for i in ids:
+        for j in ids:
+            if i < j and sims[i] is not None and sims[j] is not None:
+                ham = bin(sims[i] ^ sims[j]).count("1")
+                chunk_hit = any(
+                    (sims[i] >> (8 * c)) & 255 == (sims[j] >> (8 * c)) & 255
+                    for c in range(4)
+                )
+                if ham <= 3 and chunk_hit:
+                    expect[(i, j)] = ham
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_near_duplicates_md5(docs, "text", "doc_id").collect()}
+    assert got == expect
+
 def test_ngram_jaccard_pairs_with_blocking(spark):
     df = spark.createDataFrame(
         [(1, DOC_A, "en"), (2, DOC_A2, "en"), (3, DOC_B, "en"),
