@@ -54,6 +54,21 @@ def main() -> None:
     warmup_env = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "adaptive")
     timings: dict[str, float] = {}
 
+    def hygiene() -> None:
+        """Between-passes isolation: clear Dataset caches, free leaked
+        localCheckpoint blocks (clearCache can't), and force BOTH
+        collectors — Python first so py4j drops its JVM handles
+        (broadcasts, DataFrames), then the JVM's. Without this,
+        accumulated garbage from neighboring passes showed up as
+        5-8× timing outliers on Arrow/broadcast-heavy queries
+        (ann_recall_audit: 4.4 s clean vs 34 s under pressure)."""
+        import gc
+
+        spark.catalog.clearCache()
+        release_leaked_checkpoints(spark, pinned_rdd_ids())
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     # The shared near-dup cluster frame (plans/doc_clusters.py) is
     # memoized per application, so its one-time materialization would
     # otherwise hide inside the first consumer's warmup pass and the
@@ -87,14 +102,14 @@ def main() -> None:
                     t0 = time.perf_counter()
                     force(spec.fn(spark, sf_dir))
                     dt = time.perf_counter() - t0
-                    release_leaked_checkpoints(spark, pinned_rdd_ids())
+                    hygiene()
                     if prev is not None and dt >= 0.8 * prev:
                         break  # steady state: <20% improvement
                     prev = dt
             else:
                 for _ in range(int(warmup_env)):
                     force(spec.fn(spark, sf_dir))
-                    release_leaked_checkpoints(spark, pinned_rdd_ids())
+                    hygiene()
             start = time.perf_counter()
             force(spec.fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
@@ -103,13 +118,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         # isolate queries: a query that persists intermediates must
-        # not tax the ones after it — clearCache for Dataset-level
-        # persists, plus explicit release of leaked localCheckpoint
-        # blocks (clearCache does NOT touch those; accumulated dead
-        # blocks measurably inflated later queries' timings in r4),
-        # keeping only the deliberately-memoized cluster frame.
-        spark.catalog.clearCache()
-        release_leaked_checkpoints(spark, pinned_rdd_ids())
+        # not tax the ones after it with storage or GC pressure
+        hygiene()
 
     total = round(sum(timings.values()), 3)
 

@@ -948,12 +948,23 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic, BOUNDED query set (fixed id range, not RNG):
+    # the exact ground truth costs O(|queries|·corpus), so the audit
+    # stays linear in the corpus at any scale
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = brute_force_cosine_topk(emb, queries, k=5)
+    # each component result is ≤ k·|queries| rows; checkpoint them so
+    # the exact ground truth (referenced by BOTH recall branches of
+    # the union) and each approximate path execute once per audit,
+    # not once per branch
+    exact = brute_force_cosine_topk(emb, queries, k=5).localCheckpoint(
+        eager=False
+    )
     lsh = lsh_cosine_topk(
         emb, queries, dim=64, k=5, num_planes=4, num_tables=8
-    )
-    ivf = ivf_cosine_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    ).localCheckpoint(eager=False)
+    ivf = ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    ).localCheckpoint(eager=False)
     return (
         ann_recall(exact, lsh).withColumn("method", F.lit("lsh"))
         .unionByName(
