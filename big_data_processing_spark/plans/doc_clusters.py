@@ -40,6 +40,48 @@ NGRAM_N = 3
 THRESHOLD = 0.3
 MAX_DF = 200
 
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# DuckDB CTE chain producing the SAME capped pair set as the Spark
+# pipeline below, at ANY scale factor: candidates only from grams
+# whose block-local document frequency is ≤ MAX_DF (mirroring the
+# ngram_jaccard_pairs max_df valve), each verified with EXACT
+# Jaccard on the full distinct-gram lists. At sf0.01 the cap no-ops
+# (max block df there is 50) so this equals the brute-force oracle;
+# at sf0.1+ it tracks the engine's documented df-cut exactly instead
+# of silently diverging from an uncapped brute-force oracle.
+# Consumers splice it after WITH [RECURSIVE]; `pairs` is the output.
+CAPPED_PAIRS_CTES = f"""g AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             list_distinct([substr(s, i, {NGRAM_N})
+                            FOR i IN range(1, greatest(len(s) - {NGRAM_N - 2}, 1))]) AS grams
+      FROM (SELECT doc_id, lang, n_chars, {_NORM_SQL} AS s FROM documents)
+    ), ex AS (
+      SELECT doc_id, lang, len_bucket, unnest(grams) AS gr FROM g
+    ), rare AS (
+      SELECT lang, len_bucket, gr FROM ex
+      GROUP BY 1, 2, 3 HAVING count(*) <= {MAX_DF}
+    ), rx AS (
+      SELECT ex.doc_id, ex.lang, ex.len_bucket, ex.gr
+      FROM ex JOIN rare USING (lang, len_bucket, gr)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rx a JOIN rx b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           AND a.gr = b.gr AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ga.grams, gb.grams))), 6)
+               AS jaccard
+      FROM cand
+      JOIN g ga ON ga.doc_id = cand.id_a
+      JOIN g gb ON gb.doc_id = cand.id_b
+      WHERE round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ga.grams, gb.grams))), 6)
+            >= {THRESHOLD}
+    )"""
+
 _CACHE: dict[tuple, DataFrame] = {}
 
 

@@ -44,6 +44,7 @@ from big_data_processing_spark.operators.windows import (
     sessionize,
     topk_per_group,
 )
+from big_data_processing_spark.plans.doc_clusters import CAPPED_PAIRS_CTES
 from big_data_processing_spark.plans.registry import register
 from big_data_processing_spark.sources.catalog import load_table
 
@@ -1364,20 +1365,7 @@ def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_clusters",
     f"""
-    WITH RECURSIVE g AS (
-      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-             list_distinct([substr(s, i, 3)
-                            FOR i IN range(1, greatest(len(s) - 1, 1))]) AS grams
-      FROM (SELECT doc_id, lang, n_chars, {NORM_SQL} AS s FROM documents)
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM g a JOIN g b
-        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-           AND a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.grams, b.grams))), 6)
-            >= 0.3
-    ), e AS (
+    WITH RECURSIVE {CAPPED_PAIRS_CTES}, e AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
@@ -1393,8 +1381,10 @@ def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Transitive near-dup clusters: connected components (iterative "
     "label propagation with per-round lineage truncation) over the "
-    "exact-Jaccard pair graph; oracle is a recursive-CTE closure — "
-    "chains a~b~c collapse to one cluster even when a!~c directly",
+    "exact-Jaccard pair graph; oracle is a recursive-CTE closure over "
+    "the SAME df-capped candidate generation (exact at every sf, not "
+    "just where the cap no-ops) — chains a~b~c collapse to one "
+    "cluster even when a!~c directly",
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.plans.doc_clusters import (
@@ -1708,13 +1698,17 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_capped",
-    None,  # subset-of-exact + exact values are pytest-pinned; the
-    # dropped-pair set depends on the df cut → rows-only here
+    f"""
+    WITH {CAPPED_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+    """,
     doc="df-capped exact-verified Jaccard pairs (max_df=200): "
     "candidates only from grams seen in ≤200 docs per block, then "
     "exact Jaccard on full gram arrays — candidate work linear in "
     "corpus (measured 56.8s at sf1 vs 356s exact, recall 0.998 at "
-    "sf0.1); the scale path next to the exact inverted-index query",
+    "sf0.1); the scale path next to the exact inverted-index query. "
+    "Oracle mirrors the df-capped candidate generation, so the value "
+    "check is exact at every sf, not just where the cap no-ops",
 )
 def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(

@@ -26,6 +26,7 @@ from big_data_processing_spark.functions.hygiene import (
     unigram_logprob,
 )
 from big_data_processing_spark.functions.text import token_count
+from big_data_processing_spark.plans.doc_clusters import CAPPED_PAIRS_CTES
 from big_data_processing_spark.plans.registry import register
 from big_data_processing_spark.sources.catalog import load_table
 
@@ -205,20 +206,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cluster_representatives",
     f"""
-    WITH RECURSIVE g AS (
-      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-             list_distinct([substr(s, i, 3)
-                            FOR i IN range(1, greatest(len(s) - 1, 1))]) AS grams
-      FROM (SELECT doc_id, lang, n_chars, {NORM_SQL} AS s FROM documents)
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM g a JOIN g b
-        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-           AND a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.grams, b.grams))), 6)
-            >= 0.3
-    ), e AS (
+    WITH RECURSIVE {CAPPED_PAIRS_CTES}, e AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
