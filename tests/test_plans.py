@@ -122,3 +122,28 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) occurrences whose FIRST argument is
+    already an ordering expression (…ASC/DESC NULLS…) — i.e. windows
+    with no partition columns, which execute as a single task."""
+    bad = []
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        first = spec.split(", ")[0]
+        if " ASC NULLS" in first or " DESC NULLS" in first:
+            bad.append(spec)
+    return bad
+
+
+def test_series_windows_are_partitioned(spark):
+    """The partitioned-by-series gap-fill and anomaly variants must
+    never fall into a single-partition global WindowExec."""
+    # sanity: the detector does flag the documented-bounded global
+    # window of the single-series variant
+    assert _unpartitioned_windows(
+        _plan(SPECS["hourly_gap_fill"].fn(spark, SF0001))
+    )
+    for q in ("series_gap_fill", "series_event_anomalies"):
+        plan = _plan(SPECS[q].fn(spark, SF0001))
+        assert not _unpartitioned_windows(plan), (q, plan)
