@@ -1,0 +1,172 @@
+"""Semantic (embedding-space) clustering and deduplication:
+distributed Lloyd k-means plus SemDeDup-style within-cluster
+near-duplicate pruning (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication").
+
+North-star extension — the reference has no embedding operators
+(SURVEY.md §2.8); this is the semantic arm of the dedup family next
+to MinHash/SimHash (``functions/dedup.py``) and the exact/LSH/IVF
+cosine paths (``functions/similarity.py``).
+
+Scale notes
+-----------
+- Each Lloyd iteration is one broadcast join (k centroids — a few
+  KB — against the corpus) plus one ``posexplode`` partial
+  aggregate: the corpus shuffles only (cluster, pos, value)
+  triples, never whole vectors, and the map-side combine reduces
+  each partition to at most k×d rows before the exchange.
+- Centroids never leave the JVM as data; they round-trip through a
+  k-row DataFrame re-broadcast per iteration. For many iterations,
+  lineage should be truncated the way ``operators/graph.py`` does
+  for label propagation; the registered queries run 2 iterations,
+  where plan growth is negligible.
+- SemDeDup's pairwise phase is quadratic ONLY within a cluster:
+  with k chosen ∝ corpus size (the paper uses ~100k clusters at
+  web scale), cluster populations stay bounded and the self-join is
+  an equi-join on the cluster id — the same blocked-pair shape as
+  ``cosine_near_dup_pairs`` (label-blocked) and LSH bucketing.
+
+Cross-engine parity: cosine scores are rounded to ``sim_digits``
+before the argmax (ties broken by lowest cluster id) and centroid
+means are rounded to ``centroid_digits`` between iterations, so
+Spark and a SQL oracle that mirrors the recipe agree bit-for-bit —
+double summation order contributes ≤1e-13 noise against rounding
+grids of 1e-8/1e-6 (the repo-wide float-parity policy,
+``plans/registry.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_processing_spark.functions.similarity import cosine
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    sim_digits: int = 8,
+    centroid_digits: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd k-means under cosine similarity.
+
+    Deterministic init: the k rows with the lowest ids seed the
+    centroids (no RNG — reproducible across engines and runs).
+    Each iteration assigns every vector to its highest-cosine
+    centroid (rounded scores, ties to the lowest cluster id), then
+    recomputes centroids as the per-dimension member mean (rounded).
+
+    Returns (id_col, cluster, cos) — the assignment after ``iters``
+    assignment steps, i.e. ``iters - 1`` centroid updates.
+    """
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    centroids = (
+        e.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cluster"),
+                F.col("v").alias("c"))
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("cluster")
+    )
+    assign = None
+    for it in range(iters):
+        scored = e.join(F.broadcast(centroids)).select(
+            id_col,
+            "cluster",
+            F.round(cosine(F.col("v"), F.col("c")), sim_digits).alias("cos"),
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it == iters - 1:
+            break
+        # Lloyd update: per-dimension member mean, rounded so the
+        # next iteration's inputs are bit-identical cross-engine.
+        centroids = (
+            assign.join(e, on=id_col)
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), centroid_digits).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+        )
+    return assign
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    assign: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    sim_digits: int = 8,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: (cluster, id_a, id_b,
+    cos) with ``id_a < id_b`` and rounded cosine ≥ ``tau``.
+
+    The self-join is an equi-join on the cluster id — pair work is
+    bounded by the largest cluster, never corpus-quadratic.
+    """
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    m = assign.select(id_col, "cluster").join(e, on=id_col)
+    a = m.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    b = m.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), sim_digits).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+
+
+def semantic_dedup_drops(
+    pairs: DataFrame,
+) -> DataFrame:
+    """SemDeDup keep-lowest policy over within-cluster pairs: a
+    vector is dropped when a lower-id member of its cluster sits
+    within the cosine threshold. Returns one row per dropped vector:
+    (cluster, drop_id, keep_id, cos) where ``keep_id`` is the lowest
+    such partner (deterministic representative).
+    """
+    win = Window.partitionBy("id_b").orderBy("id_a")
+    return (
+        pairs.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("id_b").alias("drop_id"),
+            F.col("id_a").alias("keep_id"),
+            "cos",
+        )
+    )

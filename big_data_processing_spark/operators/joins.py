@@ -201,3 +201,42 @@ def interval_join(
         *[c for c in right.columns if c not in set(keys)],
     ]
     return joined.select(*out_cols)
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block_left,
+    block_right,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Approximate string (edit-distance) join with candidate
+    blocking — the entity-resolution workhorse.
+
+    A naive fuzzy join is a cross product with a Levenshtein
+    predicate — quadratic and non-pushable. This runs the classic
+    two-phase recipe instead: an EQUI-join on a cheap blocking key
+    (``block_left``/``block_right`` Columns, e.g. first token,
+    soundex, length band) generates candidates, and the exact
+    ``levenshtein`` predicate verifies them inside the join. Pair
+    work is bounded by the largest block, never |L|×|R|; at 100 TB
+    the blocking key is the only shuffle key. Recall is governed by
+    the blocking function (a candidate must share the block) — use
+    multiple passes with different keys for higher recall, the same
+    multi-table trick LSH uses.
+
+    Returns left ∥ right columns plus ``dist`` (edit distance ≤
+    ``max_dist``). Trivial self-matches are NOT filtered — callers
+    dedupe/direct pairs with their own id predicate.
+    """
+    lhs = left.withColumn("__blk", block_left)
+    rhs = right.withColumn("__blk", block_right)
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    return (
+        lhs.join(rhs, on="__blk")
+        .filter(dist <= max_dist)
+        .drop("__blk")
+        .withColumn("dist", dist)
+    )

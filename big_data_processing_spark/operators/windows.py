@@ -131,3 +131,53 @@ def gap_fill(
     return out.withColumn(
         "filled", F.col("__present").isNull()
     ).drop("__present")
+
+
+def collapse_runs(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    status_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Gaps-and-islands collapse → SCD-type-2 intervals.
+
+    Consecutive rows (per key, in ``order_cols`` order) sharing the
+    same ``status_col`` value collapse into one interval row:
+    (key…, status, valid_from, valid_to, n_events, is_current) —
+    ``valid_to`` is the next interval's start (NULL on the open,
+    current interval). The classic change-data-capture snapshot
+    build: lag-compare marks changes, a running sum numbers the
+    islands, one group-by collapses them.
+
+    One shuffle: every window and the aggregate share the key
+    partitioning, so Catalyst plans a single exchange and sorts
+    within it. State per key is the key's row count — bounded by
+    per-entity history, never table size.
+    """
+    key = [F.col(c) for c in key_cols]
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*key).orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed = (
+        F.lag(status_col).over(w).isNull()
+        | (F.lag(status_col).over(w) != F.col(status_col))
+    ).cast("int")
+    islands = (
+        df.withColumn("__grp", F.sum(changed).over(w_run))
+        .groupBy(*key, F.col(status_col).alias("status"), F.col("__grp"))
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__grp")
+    )
+    w_iv = Window.partitionBy(*key).orderBy("valid_from")
+    return islands.select(
+        *key_cols,
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
+    )

@@ -60,6 +60,7 @@ def _load_all() -> None:
         parity_queries,
         extension_queries,
         hygiene_queries,
+        advanced_queries,
     )
 
 
