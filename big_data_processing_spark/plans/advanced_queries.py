@@ -400,3 +400,190 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pr", 8).alias("pagerank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-cleaning pipeline (C4/Gopher-style)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+
+
+@register(
+    "corpus_filter_pipeline",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    flags AS (
+      SELECT doc_id,
+             (len(toks) >= 30 AND len(toks) <= 100000) AS tokens_ok,
+             (CASE WHEN len(toks) > 0
+                   THEN list_sum(list_transform(toks,
+                          x -> CAST(len(x) AS DOUBLE))) / len(toks)
+                   ELSE 0.0 END BETWEEN 3.0 AND 10.0) AS word_shape_ok,
+             (CASE WHEN len(text) > 0
+                   THEN CAST(len(text) - len(regexp_replace(text,
+                        '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+                   ELSE 0.0 END <= 0.1) AS symbols_ok,
+             (CASE WHEN len(grams) > 0
+                   THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                              / len(grams)
+                   ELSE 0.0 END <= 0.5) AS repetition_ok
+      FROM (
+        SELECT doc_id, text, toks,
+               [array_to_string(toks[i:i+1], ' ')
+                FOR i IN range(1, greatest(len(toks), 1))] AS grams
+        FROM t)
+    )
+    SELECT doc_id, tokens_ok, word_shape_ok, symbols_ok, repetition_ok,
+           (tokens_ok AND word_shape_ok AND symbols_ok AND repetition_ok)
+             AS passed,
+           CASE WHEN NOT tokens_ok THEN 'min_tokens'
+                WHEN NOT word_shape_ok THEN 'word_shape'
+                WHEN NOT symbols_ok THEN 'symbols'
+                WHEN NOT repetition_ok THEN 'repetition'
+                ELSE NULL END AS first_fail
+    FROM flags
+    """,
+    doc="End-to-end corpus-cleaning pipeline: Gopher token/word-shape/"
+    "symbol bounds + duplicate-bigram repetition rule composed into "
+    "one verdict per document with a deterministic first-fail reason "
+    "— the filter chain a C4-style pipeline runs before any pairwise "
+    "dedup. Pure per-row projections, one job, no shuffle",
+)
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.hygiene import (
+        gopher_quality_flags,
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, "text", "doc_id").drop("passed")
+    rep = repetition_stats(docs, "text", "doc_id", n=2).select(
+        "doc_id", (F.col("dup_ratio") <= 0.5).alias("repetition_ok")
+    )
+    out = flags.join(rep, on="doc_id")
+    passed = (
+        F.col("tokens_ok")
+        & F.col("word_shape_ok")
+        & F.col("symbols_ok")
+        & F.col("repetition_ok")
+    )
+    return out.select(
+        "doc_id",
+        "tokens_ok",
+        "word_shape_ok",
+        "symbols_ok",
+        "repetition_ok",
+        passed.alias("passed"),
+        F.when(~F.col("tokens_ok"), "min_tokens")
+        .when(~F.col("word_shape_ok"), "word_shape")
+        .when(~F.col("symbols_ok"), "symbols")
+        .when(~F.col("repetition_ok"), "repetition")
+        .alias("first_fail"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA (grouped applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_value_ewma",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, rn, value, value AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, s.value,
+             0.3 * s.value + 0.7 * r.ewma
+      FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ewma FROM r
+    """,
+    doc="Per-user EWMA (α=0.3) of event values — a sequential "
+    "recurrence no SQL window frame expresses, computed with grouped "
+    "applyInPandas (one shuffle on the key, Arrow-batched numpy "
+    "kernel, O(1) state per key). The oracle replays the recurrence "
+    "as a recursive CTE; raw doubles compare bit-identical because "
+    "both engines run the same IEEE ops in the same order "
+    "(operators/windows.py ewma_per_key)",
+)
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.windows import ewma_per_key
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ewma_per_key(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.3,
+    )
+    # no rounding: the recurrence is bit-identical across engines
+    # (same literals, same op order), so the raw doubles hash equal —
+    # rounding would only reintroduce midpoint-handling divergence
+    return out.select("user_id", "event_id", "ewma")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert (foreachBatch merge) with batch parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_upsert_parity",
+    """
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Streaming CDC upsert, value-checked end-to-end: the REAL "
+    "Structured Streaming pipeline (file source → foreachBatch "
+    "last-writer-wins merge into a parquet snapshot) maintains one "
+    "latest row per user; the oracle recomputes the snapshot as "
+    "latest-event-per-key in SQL. Production sink is an ACID MERGE "
+    "(streaming/cdc.py); state is |keys| rows, never |events|",
+)
+def q_cdc_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from big_data_processing_spark.streaming.cdc import (
+        cdc_upsert_stream,
+        read_state,
+    )
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_upsert_")
+    stream = read_event_stream(spark, sf_dir)
+    cdc_upsert_stream(
+        stream,
+        state_dir=f"{work}/state",
+        checkpoint_dir=f"{work}/ckpt",
+        key="user_id",
+        ts_col="ts",
+        payload_cols=["event_id", "event_type", "value"],
+    )
+    return read_state(spark, f"{work}/state").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -169,3 +169,77 @@ def test_pagerank_uniform_on_cycle(spark):
     pr = {r.node: r.pr for r in pagerank(edges, nodes, iters=4).collect()}
     for v in pr.values():
         assert math.isclose(v, 1.0 / 3, abs_tol=1e-9)
+
+
+def test_ewma_per_key_recurrence(spark):
+    from big_data_processing_spark.operators.windows import ewma_per_key
+
+    rows = [
+        Row(k=1, seq=1, v=10.0),
+        Row(k=1, seq=2, v=20.0),
+        Row(k=1, seq=3, v=30.0),
+        Row(k=2, seq=1, v=5.0),
+    ]
+    out = ewma_per_key(
+        spark.createDataFrame(rows), ["k"], ["seq"], "v", alpha=0.5
+    ).collect()
+    got = {(r.k, r.seq): r.ewma for r in out}
+    assert got == {
+        (1, 1): 10.0,
+        (1, 2): 15.0,   # 0.5*20 + 0.5*10
+        (1, 3): 22.5,   # 0.5*30 + 0.5*15
+        (2, 1): 5.0,
+    }
+
+
+def test_cdc_latest_per_key(spark):
+    from big_data_processing_spark.streaming.cdc import latest_per_key
+
+    rows = [
+        Row(k=1, t=1, x="a"),
+        Row(k=1, t=3, x="c"),
+        Row(k=1, t=2, x="b"),
+        Row(k=2, t=1, x="z"),
+    ]
+    out = latest_per_key(
+        spark.createDataFrame(rows), "k", "t", ["x"]
+    ).collect()
+    got = {(r.k): (r.t, r.x) for r in out}
+    assert got == {1: (3, "c"), 2: (1, "z")}
+
+
+def test_cdc_upsert_stream_end_to_end(spark, tmp_path):
+    from big_data_processing_spark.streaming.cdc import (
+        cdc_upsert_stream,
+        read_state,
+    )
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_event_stream(spark, sf)
+    cdc_upsert_stream(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key="user_id",
+        ts_col="ts",
+        payload_cols=["event_id", "event_type", "value"],
+    )
+    state = read_state(spark, str(tmp_path / "state"))
+    # one row per user, and it is the max-ts event of that user
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    n_users = events.select("user_id").distinct().count()
+    assert state.count() == n_users
+    from pyspark.sql import functions as SF
+
+    expect = {
+        r.user_id: r.m
+        for r in events.groupBy("user_id")
+        .agg(SF.max("ts").alias("m"))
+        .collect()
+    }
+    got = {r.user_id: r.ts for r in state.collect()}
+    # ns→µs: stream normalizes both sides through the same loader
+    assert set(got) == set(expect)
