@@ -587,3 +587,67 @@ def q_cdc_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets + statistical aggregates (family completion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (flag-only, status-only, grand total) "
+    "— the general form of the rollup/cube family (A10); one shuffle, "
+    "Spark expands sets map-side before the partial aggregate",
+)
+def q_grouping_sets_flag_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_processing_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "price_quantity_correlation",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)
+             AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistical aggregates (corr / sample covariance / "
+    "stddev) per group — single-pass partial-aggregable moments, "
+    "rounded on both sides (ulp-order summation noise)",
+)
+def q_price_quantity_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )

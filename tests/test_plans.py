@@ -147,3 +147,31 @@ def test_series_windows_are_partitioned(spark):
     for q in ("series_gap_fill", "series_event_anomalies"):
         plan = _plan(SPECS[q].fn(spark, SF0001))
         assert not _unpartitioned_windows(plan), (q, plan)
+
+
+def test_partitioned_layout_prunes_at_read(spark, tmp_path):
+    """Hive-partitioned layout → a date predicate becomes a
+    PartitionFilter (directory pruning at planning time: at 100 TB a
+    day-filter touches one day's files, not the table)."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.sources.catalog import load_table
+    from big_data_processing_spark.sources.files import write_parquet
+
+    events = load_table(spark, SF0001, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    dest = str(tmp_path / "events_by_date")
+    write_parquet(events, dest, partition_by=["event_date"])
+
+    df = spark.read.parquet(dest).filter(
+        F.col("event_date") == "2024-01-03"
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1)
+    # the date predicate must NOT appear as a post-scan data filter
+    assert df.count() == events.filter(
+        F.to_date("ts") == "2024-01-03"
+    ).count()
