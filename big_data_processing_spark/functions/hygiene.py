@@ -378,3 +378,87 @@ def keep_best_per_cluster(
         .filter(F.col("__rn") == 1)
         .select("id", "cluster_id", score_col)
     )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage — the distributable
+    proxy for exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of
+    each document's tokens covered by some ``n``-gram that also
+    appears in ≥ ``min_docs`` documents.
+
+    Shape: positioned-gram explode → gram document-frequency
+    aggregate → join back → position-coverage distinct-count. All
+    explode → hash-aggregate work on (id, gram) / (id, pos) pairs
+    (same scale class as :func:`boilerplate_ngrams`); a true
+    suffix-array dedup is a different algorithm family, but this
+    coverage score is what the filtering decision actually consumes.
+
+    Returns (id, n_tokens, n_dup_span_tokens, dup_span_ratio).
+    """
+    toked = _spread(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toked = toked.localCheckpoint(eager=False)
+    base = toked.select(
+        F.col(id_col), F.size("__toks").alias("n_tokens")
+    )
+    g = (
+        toked.filter(F.size("__toks") >= n)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1))
+            ).alias("i"),
+        )
+        .select(
+            F.col(id_col),
+            "i",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("i"), n), " "
+            ).alias("gram"),
+        )
+    )
+    g = _spread(g, id_col).localCheckpoint(eager=False)
+    dfreq = g.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    dup = g.join(
+        dfreq.filter(F.col("__n_docs") >= min_docs).select("gram"),
+        on="gram",
+    )
+    cov = (
+        dup.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (n - 1))
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("pos").alias("n_cov"))
+    )
+    return (
+        base.join(cov, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_cov"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_span_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce(F.col("n_cov"), F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_span_ratio"),
+        )
+    )

@@ -651,3 +651,50 @@ def q_price_quantity_correlation(
         ),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span coverage (exact-substring-dedup proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_span_coverage",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(range(1, greatest(len(toks) - 3, 1))) AS i,
+             toks
+      FROM t WHERE len(toks) >= 5
+    ),
+    g2 AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
+           FROM g),
+    dfreq AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
+              FROM g2 GROUP BY gram),
+    dup AS (SELECT g2.doc_id, g2.i FROM g2
+            JOIN dfreq ON g2.gram = dfreq.gram WHERE dfreq.n_docs >= 2),
+    cov AS (
+      SELECT doc_id, count(DISTINCT pos) AS n_cov
+      FROM (SELECT doc_id, unnest(range(i, i + 5)) AS pos FROM dup)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_dup_span_tokens,
+           round(CASE WHEN len(t.toks) > 0
+                 THEN CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / len(t.toks)
+                 ELSE 0.0 END, 6) AS dup_span_ratio
+    FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
+    """,
+    doc="Duplicated-span coverage: fraction of each doc's tokens "
+    "inside a 5-gram shared with ≥2 documents — the exact-substring-"
+    "dedup (Lee et al. 2022) filtering signal, computed as positioned-"
+    "gram explode → df aggregate → join-back → coverage distinct-count "
+    "(functions/hygiene.py dup_span_coverage)",
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.hygiene import (
+        dup_span_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage(docs, "text", "doc_id", n=5, min_docs=2)

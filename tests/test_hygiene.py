@@ -179,3 +179,28 @@ def test_bigram_logprob_ranks_fluency(spark):
     assert out[100].n_bigrams == 7
     # fluent doc beats the scrambled one under the corpus LM
     assert out[100].mean_logp > out[102].mean_logp
+
+
+def test_dup_span_coverage_positions(spark):
+    from pyspark.sql import Row
+
+    from big_data_processing_spark.functions.hygiene import (
+        dup_span_coverage,
+    )
+
+    rows = [
+        # docs 1 and 2 share the 5-gram "a b c d e" once each;
+        # doc 3 shares nothing
+        Row(doc_id=1, text="a b c d e x y z w q"),
+        Row(doc_id=2, text="p a b c d e"),
+        Row(doc_id=3, text="k l m n o p q r"),
+    ]
+    out = {
+        r.doc_id: (r.n_tokens, r.n_dup_span_tokens, r.dup_span_ratio)
+        for r in dup_span_coverage(
+            spark.createDataFrame(rows), "text", "doc_id", n=5
+        ).collect()
+    }
+    assert out[1] == (10, 5, 0.5)
+    assert out[2] == (6, 5, round(5 / 6, 6))
+    assert out[3] == (8, 0, 0.0)
