@@ -698,3 +698,58 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dup_span_coverage(docs, "text", "doc_id", n=5, min_docs=2)
+
+
+@register(
+    "incremental_rollup_parity",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incrementally-maintained materialized aggregate, value-"
+    "checked end-to-end: the events file is re-chunked into 4 files, "
+    "streamed one file per micro-batch, and each batch's per-key "
+    "partials are MERGED into a parquet snapshot (count/sum monoid "
+    "add — streaming/cdc.py incremental_agg_stream). The oracle is "
+    "the one-shot batch rollup: exactness cannot depend on batching",
+)
+def q_incremental_rollup_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from big_data_processing_spark.streaming.cdc import (
+        incremental_agg_stream,
+        read_state,
+    )
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="incr_rollup_")
+    # re-chunk so the file stream delivers MULTIPLE micro-batches —
+    # the parity then actually tests the cross-batch monoid merge
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(f"{work}/chunks")
+    stream = read_event_stream(
+        spark, f"{work}/chunks", glob="part-*.parquet"
+    )
+    pre = stream.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        "value",
+    )
+    incremental_agg_stream(
+        pre,
+        state_dir=f"{work}/state",
+        checkpoint_dir=f"{work}/ckpt",
+        group_cols=["hour", "event_type"],
+    )
+    return read_state(spark, f"{work}/state").select(
+        "hour",
+        "event_type",
+        F.col("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+    )

@@ -78,3 +78,65 @@ def cdc_upsert_stream(
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(state_dir)
+
+
+def incremental_agg_stream(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    count_col: str = "n_events",
+    sum_col: str | None = "total_value",
+    sum_src: str = "value",
+) -> None:
+    """Incrementally-maintained materialized aggregate: each
+    micro-batch is reduced to per-key partials (count + sum), then
+    MERGED into the snapshot by adding partials — the commutative-
+    monoid update that makes streaming view maintenance exact
+    regardless of how events are batched. Same sink emulation as
+    :func:`cdc_upsert_stream` (production: MERGE INTO with
+    ``n = s.n + b.n``); state is |groups| rows, per-batch cost is
+    |batch groups| + |state|.
+    """
+    spark = stream.sparkSession
+
+    def partials(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias(count_col)]
+        if sum_col:
+            aggs.append(F.sum(sum_src).alias(sum_col))
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        new = partials(batch_df)
+        if os.path.isdir(state_dir):
+            cur = spark.read.parquet(state_dir)
+            merged = (
+                cur.unionByName(new)
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum(count_col).cast("long").alias(count_col),
+                    *(
+                        [F.sum(sum_col).alias(sum_col)]
+                        if sum_col
+                        else []
+                    ),
+                )
+            )
+        else:
+            merged = new
+        tmp = f"{state_dir}__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

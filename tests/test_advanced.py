@@ -243,3 +243,39 @@ def test_cdc_upsert_stream_end_to_end(spark, tmp_path):
     got = {r.user_id: r.ts for r in state.collect()}
     # ns→µs: stream normalizes both sides through the same loader
     assert set(got) == set(expect)
+
+
+def test_incremental_agg_stream_multi_batch(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from big_data_processing_spark.streaming.cdc import (
+        incremental_agg_stream,
+        read_state,
+    )
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    chunks = str(tmp_path / "chunks")
+    events.repartition(3).write.parquet(chunks)
+    stream = read_event_stream(spark, chunks, glob="part-*.parquet")
+    incremental_agg_stream(
+        stream.select("event_type", "value"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        group_cols=["event_type"],
+    )
+    got = {
+        r.event_type: (r.n_events, round(r.total_value, 6))
+        for r in read_state(spark, str(tmp_path / "state")).collect()
+    }
+    # ns-long vs µs loader drift is irrelevant here: counts/sums only
+    expect = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in events.groupBy("event_type")
+        .agg(SF.count(SF.lit(1)).alias("n"), SF.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expect
