@@ -175,3 +175,25 @@ def test_partitioned_layout_prunes_at_read(spark, tmp_path):
     assert df.count() == events.filter(
         F.to_date("ts") == "2024-01-03"
     ).count()
+
+
+def test_funnel_and_scd2_share_one_exchange(spark):
+    """The staged funnel windows and the SCD2 island chain each
+    partition once on user_id; every window/aggregate after that
+    must reuse the exchange (at 100 TB the second shuffle would
+    dominate the query)."""
+    for name in ("funnel_user_paths", "scd2_user_status"):
+        df = SPECS[name].fn(spark, SF0001)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, (name, plan)
+
+
+def test_ewma_is_single_shuffle_grouped_pandas(spark):
+    """ewma_per_key: one exchange on the key feeding one Arrow
+    grouped-map kernel — no extra sort-shuffles, no Python row
+    loop in the plan."""
+    df = SPECS["user_value_ewma"].fn(spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
