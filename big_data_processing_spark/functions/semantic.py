@@ -121,20 +121,40 @@ def semantic_dedup_pairs(
     The self-join is an equi-join on the cluster id — pair work is
     bounded by the largest cluster, never corpus-quadratic.
     """
+    from big_data_processing_spark.functions.similarity import _dot
+
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    m = assign.select(id_col, "cluster").join(e, on=id_col)
+    # Precompute each vector's norm ONCE: the pairwise stage then
+    # evaluates a single dot product per pair instead of three
+    # (sqrt(aa)·sqrt(bb) equals the precomputed na·nb bit-for-bit,
+    # so oracle parity is unaffected).
+    m = (
+        assign.select(id_col, "cluster")
+        .join(e, on=id_col)
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    # Both sides of the within-cluster self-join read the member
+    # frame; materialize it ONCE (the k-means lineage above it would
+    # otherwise execute twice). Swept by release_leaked_checkpoints.
+    m = m.localCheckpoint(eager=True)
     a = m.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = m.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(
+        denom > 0, _dot(F.col("va"), F.col("vb")) / denom
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, on="cluster")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -142,9 +162,7 @@ def semantic_dedup_pairs(
             "cluster",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), sim_digits).alias(
-                "cos"
-            ),
+            F.round(cos, sim_digits).alias("cos"),
         )
         .filter(F.col("cos") >= tau)
     )

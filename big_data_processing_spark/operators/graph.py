@@ -228,6 +228,12 @@ def pagerank(
         .select(src, dst, F.round(F.col(weight) / F.col("__tot"), ndigits)
                 .alias("__p"))
     )
+    # The edge list is read once per iteration; materialize it ONCE
+    # (eager checkpoint, truncating the — possibly expensive — edge-
+    # build lineage) so iterations don't re-run the upstream joins.
+    # Blocks are swept by the harness's release_leaked_checkpoints
+    # after the consuming query completes.
+    norm = norm.localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n_nodes
     pr = nodes.select(F.col(node), F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(iters):
