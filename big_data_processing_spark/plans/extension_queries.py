@@ -211,7 +211,8 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_extendedprice) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                      l_extendedprice
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS running_revenue
     FROM lineitem
@@ -225,7 +226,16 @@ def q_running_revenue_per_supplier(
     out = running_total(
         df,
         ["l_suppkey"],
-        [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        # l_extendedprice breaks (orderkey, linenumber) collisions the
+        # synthetic corpus contains at sf>=0.1: without it the running
+        # sum's tie order — and so the cumulative VALUES — are engine-
+        # dependent (caught by the sf0.1 differential check, r5)
+        [
+            F.col("l_shipdate"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_extendedprice"),
+        ],
         "l_extendedprice",
         out="running_revenue",
     )
