@@ -753,3 +753,81 @@ def q_incremental_rollup_parity(
         F.col("n_events"),
         F.round("total_value", 6).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image decode, value-checked end-to-end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "image_decode_features",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT ids.doc_id,
+             (ids.doc_id + 3 * x.range + 7 * y.range + 11 * c.range)
+               % 256 AS v
+      FROM ids, range(0, 8) x, range(0, 6) y, range(0, 3) c
+    )
+    SELECT doc_id AS media_id, 8 AS width, 6 AS height,
+           round(avg(v), 6) AS mean_pixel
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL image decode, value-checked: per doc a deterministic "
+    "P6 netpbm image is synthesized (pixel = (id+3x+7y+11c) mod 256), "
+    "decoded by the pure-numpy codec (functions/multimodal.py "
+    "decode_image_real), and reduced to (width, height, mean_pixel) "
+    "inside the Arrow kernel; the oracle regenerates the raster "
+    "arithmetically in SQL. Proves bytes→pixels→features end-to-end, "
+    "not just plumbing",
+)
+def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_image_real,
+        make_ppm,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id: int):
+            img = decode_image_real(make_ppm(8, 6, seed=int(doc_id)))
+            h, w = img.shape[:2]
+            # integer sum / count: bit-identical to the SQL avg
+            return w, h, float(np.asarray(img, dtype=np.int64).sum())\
+                / img.size
+
+        for pdf in batches:
+            trip = pdf["doc_id"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "width": trip.map(lambda t: t[0]).astype("int32"),
+                    "height": trip.map(lambda t: t[1]).astype("int32"),
+                    "mean_pixel": trip.map(lambda t: t[2]),
+                }
+            )
+
+    out = ids.mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, mean_pixel double",
+    )
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )

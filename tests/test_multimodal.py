@@ -48,3 +48,105 @@ def test_sample_video_frames(media):
     # 3500 ms video, sampled at 0,1000,2000,3000
     assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
     assert all(r.media_id == 4 for r in out)
+
+
+def _bmp_bytes(pixels, bottom_up=True):
+    """Hand-rolled 24-bit BI_RGB BMP from a row-major RGB pixel
+    list-of-rows (top-down logical order)."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    rows = pixels[::-1] if bottom_up else pixels
+    for row in rows:
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        raster += line + b"\x00" * (stride - len(line))
+    data_offset = 14 + 40
+    size = data_offset + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_offset)
+    h_field = h if bottom_up else -h
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h_field, 1, 24, 0, len(raster),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + raster
+
+
+def test_decode_netpbm_p6_and_p5():
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_netpbm,
+        make_ppm,
+    )
+
+    img = decode_netpbm(make_ppm(4, 3, seed=5))
+    assert img.shape == (3, 4, 3)
+    # pixel (x=2, y=1, c=0) = (5 + 6 + 7) % 256
+    assert img[1, 2, 0] == 18
+    # P5 grayscale with a comment in the header
+    p5 = b"P5\n# test comment\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    g = decode_netpbm(p5)
+    assert g.shape == (2, 2)
+    assert list(g.ravel()) == [0, 64, 128, 255]
+    assert g.dtype == np.uint8
+
+
+def test_decode_bmp_bottom_up_and_top_down():
+    px = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (10, 20, 30)],
+    ]
+    from big_data_processing_spark.functions.multimodal import decode_bmp
+
+    for bottom_up in (True, False):
+        img = decode_bmp(_bmp_bytes(px, bottom_up=bottom_up))
+        assert img.shape == (2, 2, 3)
+        assert tuple(img[0, 0]) == (255, 0, 0)
+        assert tuple(img[1, 1]) == (10, 20, 30)
+
+
+def test_decode_image_real_rejects_compressed():
+    import pytest as _pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_image_real,
+    )
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(jpeg_magic)
+
+
+def test_extract_image_features_real_end_to_end(spark):
+    from pyspark.sql import Row
+
+    from big_data_processing_spark.functions.multimodal import (
+        extract_image_features_real,
+        image_to_features,
+        decode_netpbm,
+        make_ppm,
+    )
+
+    rows = [
+        Row(media_id=1, content=bytearray(make_ppm(8, 8, seed=1))),
+        Row(media_id=2, content=bytearray(make_ppm(16, 4, seed=9))),
+        Row(media_id=3, content=bytearray(b"\xff\xd8not an image")),
+        Row(media_id=4, content=None),
+    ]
+    out = {
+        r.media_id: r
+        for r in extract_image_features_real(
+            spark.createDataFrame(rows), dim=4
+        ).collect()
+    }
+    assert out[1].decode_ok and out[2].decode_ok
+    assert not out[3].decode_ok and not out[4].decode_ok
+    # distributed features equal the local reference computation
+    import numpy as np
+
+    ref = image_to_features(decode_netpbm(make_ppm(8, 8, seed=1)), 4)
+    assert np.allclose(out[1].feat, ref, atol=1e-6)
+    assert out[3].feat == [0.0] * 4
