@@ -64,23 +64,34 @@ def kmeans_assign(
     Returns (id_col, cluster, cos) — the assignment after ``iters``
     assignment steps, i.e. ``iters - 1`` centroid updates.
     """
+    from big_data_processing_spark.functions.similarity import _dot
+
+    # Precompute each side's norm ONCE: scoring then costs a single
+    # fold-dot per (vector, centroid) pair instead of three —
+    # √(v·v)·√(c·c) equals the precomputed nv·nc bit-for-bit, so a
+    # SQL oracle that divides by the sqrt-product matches exactly.
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
     centroids = (
         e.filter(F.col(id_col) < k)
         .select(F.col(id_col).cast("int").alias("cluster"),
-                F.col("v").alias("c"))
+                F.col("v").alias("c"),
+                F.col("nv").alias("nc"))
     )
     win = Window.partitionBy(id_col).orderBy(
         F.col("cos").desc(), F.col("cluster")
     )
+    denom = F.col("nv") * F.col("nc")
+    score = F.when(
+        denom > 0, _dot(F.col("v"), F.col("c")) / denom
+    ).otherwise(F.lit(0.0))
     assign = None
     for it in range(iters):
         scored = e.join(F.broadcast(centroids)).select(
             id_col,
             "cluster",
-            F.round(cosine(F.col("v"), F.col("c")), sim_digits).alias("cos"),
+            F.round(score, sim_digits).alias("cos"),
         )
         assign = (
             scored.withColumn("rn", F.row_number().over(win))
@@ -103,6 +114,7 @@ def kmeans_assign(
                     lambda s: s["m"],
                 ).alias("c")
             )
+            .withColumn("nc", F.sqrt(_dot(F.col("c"), F.col("c"))))
         )
     return assign
 

@@ -36,9 +36,14 @@ from big_data_processing_spark.sources.catalog import load_table
 # lowest-id seeds, scores rounded to 8 dp before the argmax (ties →
 # lowest cluster id), centroid means rounded to 6 dp between
 # iterations — bit-for-bit the recipe functions/semantic.py runs.
+# k scales with the corpus (max(8, n/250)) so cluster populations —
+# and with them SemDeDup's within-cluster pair counts — stay bounded
+# as the corpus grows; the same rule is applied on the Spark side.
 _KMEANS_CTES = """
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c0 AS (SELECT CAST(vec_id AS INT) AS cl, v AS c FROM e WHERE vec_id < 8),
+    kk AS (SELECT greatest(8, count(*) // 250) AS k FROM e),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cl, v AS c FROM e
+           WHERE vec_id < (SELECT k FROM kk)),
     s1 AS (
       SELECT e.vec_id, c0.cl,
              round(list_dot_product(v, c) /
@@ -91,7 +96,11 @@ _KMEANS_CTES = """
 )
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, k=8, iters=2).select(
+    # k ∝ corpus: bounded cluster populations at any scale (the
+    # count is a bounded driver scalar, mirrored by the oracle's
+    # scalar subquery)
+    k = max(8, emb.count() // 250)
+    return kmeans_assign(emb, k=k, iters=2).select(
         "vec_id", "cluster", "cos"
     )
 
@@ -123,7 +132,11 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(emb, k=8, iters=2)
+    # k ∝ corpus: bounded cluster populations at any scale (the
+    # count is a bounded driver scalar, mirrored by the oracle's
+    # scalar subquery)
+    k = max(8, emb.count() // 250)
+    assign = kmeans_assign(emb, k=k, iters=2)
     pairs = semantic_dedup_pairs(emb, assign, tau=0.4)
     return semantic_dedup_drops(pairs)
 
