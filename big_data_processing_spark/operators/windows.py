@@ -231,3 +231,47 @@ def ewma_per_key(
     return df.groupBy(*key_cols).applyInPandas(
         kernel, schema=f"{out_fields}, {out_col} double"
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    partition_by: list[str],
+    order: list[Column],
+    value_col: str,
+    n: int,
+    out_col: str = "roll_median",
+    interpolate: bool = False,
+) -> DataFrame:
+    """Exact moving median over the trailing ``n``-row frame,
+    entirely JVM-side: ``collect_list`` over the ROWS frame,
+    ``array_sort``, pick the middle element. No Python UDF, stays
+    inside whole-stage codegen.
+
+    Default is the DISCRETE (lower) median — element at ceil(s/2),
+    i.e. SQL ``quantile_disc(x, 0.5)`` — because it returns an
+    actual input value, bit-identical across engines with no
+    rounding policy needed. ``interpolate=True`` averages the two
+    middles on even frames (SQL ``median`` semantics); that (a+b)/2
+    lands on half-cent decimal-rounding midpoints for 2-dp inputs,
+    where engines' round() midpoint handling diverges — round ≥3 dp
+    if you need cross-engine parity on the interpolated form.
+
+    Scale: frame is bounded (≤ n values buffered per row) and the
+    window partitions by a real key, so state per task is
+    O(n · rows_per_key_partition) — safe at any corpus size for
+    small n. Include enough columns in ``order`` for a total order
+    (or ties whose ``value_col`` is equal) — frame membership is
+    order-dependent.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    sz = F.size(arr)
+    lo = F.element_at(arr, F.ceil(sz / 2).cast("int"))
+    if not interpolate:
+        return df.withColumn(out_col, lo)
+    hi = F.element_at(arr, (F.floor(sz / 2) + F.lit(1)).cast("int"))
+    return df.withColumn(out_col, (lo + hi) / 2)

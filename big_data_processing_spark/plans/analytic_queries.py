@@ -1,0 +1,259 @@
+"""Round-5 analytic additions: heavy hitters via a distributed
+Misra-Gries sketch, exact rolling median, cohort retention,
+cumulative distinct users, and a TPC-H Q5-shaped multi-join.
+
+All north-star extensions (the reference's SQL surface is flat
+group-bys over Postgres — SURVEY.md §2.9/§2.8; it has no sketches,
+window frames, cohort logic, or multi-fact joins). Every query is
+value-checked against a DuckDB oracle (rounding policy:
+``plans/registry.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.functions.sketches import heavy_hitters
+from big_data_processing_spark.operators.windows import rolling_median
+from big_data_processing_spark.plans.registry import register
+from big_data_processing_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_heavy_hitters",
+    """
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS token
+      FROM documents
+    ), tt AS (SELECT token FROM t WHERE token <> ''),
+    tot AS (SELECT count(*) AS n FROM tt)
+    SELECT token, count(*) AS n
+    FROM tt GROUP BY token
+    HAVING count(*) > 0.002 * (SELECT n FROM tot)
+    """,
+    doc="Exact tokens above 0.2% corpus frequency, found by the "
+    "two-pass sketch-then-recount pattern: per-partition capacity-k "
+    "Misra-Gries (mapInPandas, Arrow-batched) proposes a provable "
+    "superset of the true heavy hitters, then one exact grouped count "
+    "restricted to the broadcast candidate set removes false "
+    "positives (functions/sketches.py). The full-vocabulary groupBy "
+    "never happens — the oracle's plain HAVING is the semantics, not "
+    "the plan",
+)
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " +")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(toks, "token", threshold_frac=0.002)
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median (bounded ROWS frame, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_median_price",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           quantile_disc(l_extendedprice, 0.5) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                      l_extendedprice
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS roll_median
+    FROM lineitem
+    """,
+    doc="Trailing-5 exact moving (discrete) median of line price per "
+    "supplier: collect_list over the ROWS frame + array_sort + "
+    "middle element, all JVM expressions (operators/windows.py "
+    "rolling_median). Discrete median returns an input value — "
+    "bit-identical cross-engine, no rounding policy. "
+    "l_extendedprice in the sort breaks the corpus's (orderkey, "
+    "linenumber) collisions so frame membership is "
+    "engine-independent",
+)
+def q_rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    out = rolling_median(
+        df,
+        ["l_suppkey"],
+        [
+            F.col("l_shipdate"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_extendedprice"),
+        ],
+        "l_extendedprice",
+        n=5,
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "roll_median",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          date_trunc('day', e.ts)) AS INT)
+             AS days_since,
+           count(DISTINCT e.user_id) AS n_users,
+           count(*) AS n_events
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-activity day, "
+    "counted distinct in each subsequent day (day grain — the corpus "
+    "spans one month; week/month grain is the same plan with a "
+    "different date_trunc). Two keyed shuffles (first-seen agg on "
+    "user_id; cohort-cell agg), both partial-aggregated, and the "
+    "user_id join reuses the first agg's partitioning. Classic "
+    "product-analytics matrix the reference cannot express",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            )
+            .cast("int")
+            .alias("days_since"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "days_since")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users (first-seen trick — no COUNT(DISTINCT) OVER)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH f AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT first_day, count(*) AS new_users FROM f GROUP BY first_day
+    )
+    SELECT first_day, new_users,
+           CAST(sum(new_users) OVER (
+             ORDER BY first_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM d
+    """,
+    doc="Distinct users ever seen, per day — the first-seen trick: "
+    "mark each user's first day (one keyed agg), count new users per "
+    "day, cumulative-sum. Replaces COUNT(DISTINCT) OVER (which no "
+    "engine runs distributed) with two partial-agg shuffles; the "
+    "final ordered window runs over the DAILY grain (≤ a few "
+    "thousand rows for years of data — bounded, same documented "
+    "bound as hourly_gap_fill)",
+)
+def q_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn("cum_users", F.sum("new_users").over(w))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shaped multi-join: local supplier volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: revenue shipped by a supplier in the "
+    "customer's own nation. Join strategy by table role: "
+    "lineitem⋈orders is the one fact-fact shuffle (orderkey); "
+    "supplier and nation broadcast (10k·SF / 25 rows); customer "
+    "joins on custkey — broadcast at test SF, a keyed shuffle at "
+    "100 TB where Catalyst's size estimate flips it automatically. "
+    "Filter c_nationkey = s_nationkey applied in the join condition "
+    "so mismatched rows never reach the agg",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
         extension_queries,
         hygiene_queries,
         advanced_queries,
+        analytic_queries,
     )
 
 

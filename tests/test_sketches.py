@@ -1,0 +1,65 @@
+"""Misra-Gries heavy hitters: merge bound, candidate-superset
+guarantee, and end-to-end exactness of sketch-then-recount."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from big_data_processing_spark.functions.sketches import (
+    _mg_combine,
+    heavy_hitters,
+    mg_candidates,
+)
+
+
+def test_mg_combine_caps_size_and_undercount_bound():
+    # Stream: key i appears i times, i = 1..50 (n = 1275), capacity 10.
+    counts = pd.Series({f"k{i}": i for i in range(1, 51)}, dtype="int64")
+    summary = _mg_combine(pd.Series(dtype="int64"), counts, k=10)
+    assert len(summary) <= 10
+    n = int(counts.sum())
+    for key, true in counts.items():
+        est = int(summary.get(key, 0))
+        assert est <= true
+        assert true - est <= n / (10 + 1)
+
+
+def test_mg_combine_incremental_batches_keeps_bound():
+    # Feed 20 batches; every key's undercount stays ≤ n/(k+1).
+    k = 8
+    rng_keys = [f"t{i}" for i in range(30)]
+    true = Counter()
+    summary = pd.Series(dtype="int64")
+    for b in range(20):
+        batch = {key: (j + b) % 7 + 1 for j, key in enumerate(rng_keys)}
+        true.update(batch)
+        summary = _mg_combine(
+            summary, pd.Series(batch, dtype="int64"), k
+        )
+        assert len(summary) <= k
+    n = sum(true.values())
+    for key, t in true.items():
+        assert t - int(summary.get(key, 0)) <= n / (k + 1)
+
+
+def test_candidates_superset_of_true_heavy_hitters(spark):
+    # Skewed column: 'hot' holds 40% of rows spread over partitions.
+    rows = [("hot",)] * 400 + [(f"c{i}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    cand = {r.key for r in mg_candidates(df, "key", k=20).collect()}
+    assert "hot" in cand
+    # candidate set bounded by k per partition
+    assert len(cand) <= 20 * 8
+
+
+def test_heavy_hitters_exact_end_to_end(spark):
+    rows = (
+        [("a",)] * 300 + [("b",)] * 200 + [("c",)] * 90
+        + [(f"z{i}",) for i in range(410)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    got = {r.key: r.n for r in heavy_hitters(df, "key", 0.1).collect()}
+    # n = 1000; threshold > 100 → exactly a and b
+    assert got == {"a": 300, "b": 200}

@@ -370,3 +370,30 @@ def test_gap_fill_keeps_unaligned_observations(spark):
     # the 01:00 grid row forward-fills from the unaligned neighbor
     assert rows["2024-01-01T01:00:00"] == (7.0, True)
     assert rows["2024-01-01T02:00:00"] == (3.0, False)
+
+
+def test_rolling_median_discrete_and_interpolated(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.windows import rolling_median
+
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([5.0, 1.0, 4.0, 2.0, 3.0])],
+        "k string, i int, v double",
+    )
+    disc = {
+        r.i: r.roll_median
+        for r in rolling_median(df, ["k"], [F.col("i")], "v", n=3).collect()
+    }
+    # frames: [5], [5,1], [5,1,4], [1,4,2], [4,2,3]
+    # sorted:  [5], [1,5], [1,4,5], [1,2,4], [2,3,4] → lower-median
+    assert disc == {0: 5.0, 1: 1.0, 2: 4.0, 3: 2.0, 4: 3.0}
+    interp = {
+        r.i: r.roll_median
+        for r in rolling_median(
+            df, ["k"], [F.col("i")], "v", n=4, interpolate=True
+        ).collect()
+    }
+    # frames: [5], [5,1], [5,1,4], [5,1,4,2], [1,4,2,3]
+    # sorted:  [5], [1,5], [1,4,5], [1,2,4,5], [1,2,3,4]
+    assert interp == {0: 5.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 2.5}
