@@ -257,3 +257,49 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) curve — multi-dimensional layout clustering key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_zorder_curve",
+    """
+    WITH s0 AS (
+      SELECT event_id,
+             (user_id & 65535) AS x,
+             (CAST(floor(value) AS BIGINT) & 65535) AS y
+      FROM events
+    ), s1 AS (
+      SELECT event_id, ((x | (x << 8)) & 16711935) AS x,
+                       ((y | (y << 8)) & 16711935) AS y FROM s0
+    ), s2 AS (
+      SELECT event_id, ((x | (x << 4)) & 252645135) AS x,
+                       ((y | (y << 4)) & 252645135) AS y FROM s1
+    ), s3 AS (
+      SELECT event_id, ((x | (x << 2)) & 858993459) AS x,
+                       ((y | (y << 2)) & 858993459) AS y FROM s2
+    ), s4 AS (
+      SELECT event_id, ((x | (x << 1)) & 1431655765) AS x,
+                       ((y | (y << 1)) & 1431655765) AS y FROM s3
+    )
+    SELECT event_id, (x | (y << 1)) AS zval FROM s4
+    """,
+    doc="Morton z-value of (user_id, floor(value)) low 16 bits — the "
+    "clustering key behind zorder_layout (sources/layout.py): "
+    "bit-spread multiply-mask ladder as pure JVM shiftleft/AND/OR "
+    "expressions, bit-identical to the oracle's SQL ladder. Range-"
+    "partitioning + sorting on this key bounds every parquet file in "
+    "BOTH dimensions, so min/max stats prune filters on either "
+    "column — Delta OPTIMIZE ZORDER semantics without the table "
+    "format",
+)
+def q_events_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.sources.layout import z_value
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("user_id").bitwiseAND(F.lit(65535))
+    y = F.floor(F.col("value")).cast("long").bitwiseAND(F.lit(65535))
+    return ev.select("event_id", z_value(x, y).alias("zval"))
