@@ -197,3 +197,47 @@ def test_ewma_is_single_shuffle_grouped_pandas(spark):
     assert plan.count("Exchange") == 1, plan
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: a selective dim-side predicate
+    injects a bloom_filter_agg on the creation side and a
+    might_contain probe on the fact scan side, so the shuffle join
+    never materializes fact rows that cannot match. Thresholds are
+    lowered to exercise the rule at test SF — at 100 TB the defaults
+    (10 GB application-side scan) trigger it for real."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set(keys[0], "true")
+        spark.conf.set(keys[1], "0")
+        spark.conf.set(keys[2], "-1")
+        li = spark.read.parquet(SF0001 + "/lineitem.parquet")
+        orders = spark.read.parquet(SF0001 + "/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
