@@ -7,15 +7,16 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 Each query is forced end-to-end with the noop sink (full
 computation, no driver-side result materialization cost). By
-default each query runs UNTIMED warmup passes until its runtime
-stops improving by >20% (max 3 passes): the timed pass then
-measures steady-state execution, not whole-stage-codegen
-compilation or C2 JIT warm-up — the right proxy for large inputs,
-where compile time amortizes to zero. (A single fixed warmup was
-not enough: codegen-heavy queries measured 23.8 s → 12.0 s → 8.3 s
-on consecutive identical passes, so their "timed" number tracked
-bench POSITION, not the query.) Set SPARK_GRAFT_BENCH_WARMUP=<int>
-for a fixed pass count (0 = cold); the JSON reports which mode ran.
+default each query runs adaptive passes until its runtime stops
+improving by >20% (max 3) plus one final pass, every pass timed,
+and records the MINIMUM — the steady-state floor, not
+whole-stage-codegen compilation or C2 JIT warm-up. Min-of-passes
+because the noise is one-sided: identical reruns of codegen-heavy
+queries measured 3.4-10 s while the floor stayed put, so any
+single designated "timed" pass tracks JIT/GC luck, not the query.
+Set SPARK_GRAFT_BENCH_WARMUP=<int> for a fixed UNTIMED pass count
+(0 = true cold) with one timed pass; the JSON reports which mode
+ran.
 """
 
 from __future__ import annotations
@@ -97,25 +98,37 @@ def main() -> None:
         spec = SPECS[name]
         try:
             if warmup_env == "adaptive":
+                # Every pass is timed and the MINIMUM is recorded:
+                # C2-JIT/GC noise on codegen-heavy queries is
+                # one-sided (a pass is only ever slower than steady
+                # state, never faster), so min-of-passes is the
+                # robust steady-state estimator — a single "timed"
+                # pass measured 3.4-10 s across identical reruns of
+                # minhash_near_dup while its floor stayed put.
+                passes = []
                 prev = None
                 for _ in range(3):
                     t0 = time.perf_counter()
                     force(spec.fn(spark, sf_dir))
-                    dt = time.perf_counter() - t0
+                    passes.append(time.perf_counter() - t0)
                     hygiene()
-                    if prev is not None and dt >= 0.8 * prev:
+                    if prev is not None and passes[-1] >= 0.8 * prev:
                         break  # steady state: <20% improvement
-                    prev = dt
+                    prev = passes[-1]
+                start = time.perf_counter()
+                force(spec.fn(spark, sf_dir))
+                passes.append(time.perf_counter() - start)
+                timings[name] = round(min(passes), 3)
             else:
                 for _ in range(int(warmup_env)):
                     force(spec.fn(spark, sf_dir))
                     hygiene()
-            start = time.perf_counter()
-            force(spec.fn(spark, sf_dir))
+                start = time.perf_counter()
+                force(spec.fn(spark, sf_dir))
+                timings[name] = round(time.perf_counter() - start, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - start, 3)
         print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         # isolate queries: a query that persists intermediates must
         # not tax the ones after it with storage or GC pressure

@@ -59,3 +59,38 @@ def stratified_sample(
     training sets. Keys absent from ``fractions`` are dropped.
     One scan, no shuffle; executors filter rows by a seeded hash."""
     return df.stat.sampleBy(strata_col, fractions, seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis
+    & Spirakis A-ES): each row draws a uniform u from md5(seed:id)
+    — not a seeded RNG, so the draw is identical on any engine and
+    any partitioning — and the k rows with the largest u^(1/weight)
+    win. Inclusion probability is proportional to weight, exactly
+    the reservoir-sampling semantics, but expressed as a pure
+    projection + top-k.
+
+    Scale: no shuffle at all — ``orderBy(key).limit(k)`` plans as
+    TakeOrderedAndProject (per-partition top-k, driver merges k
+    rows per partition). Changing ``seed`` draws an independent
+    sample; the same seed is exactly reproducible forever, which is
+    what a training-data lineage audit needs.
+    """
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -303,3 +303,96 @@ def q_events_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("user_id").bitwiseAND(F.lit(65535))
     y = F.floor(F.col("value")).cast("long").bitwiseAND(F.lit(65535))
     return ev.select("event_id", z_value(x, y).alias("zval"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (A-ES, md5-keyed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             pow((CAST(concat('0x', substr(md5(concat('w7:',
+                    CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)
+                  + 0.5) / 4294967296.0,
+                 1.0 / o_totalprice) AS wkey
+      FROM orders
+    ) ORDER BY wkey DESC, o_orderkey LIMIT 200
+    """,
+    doc="Weighted sample without replacement (Efraimidis-Spirakis "
+    "A-ES), 200 orders with inclusion probability proportional to "
+    "o_totalprice. The uniform comes from md5(seed:id), not a seeded "
+    "RNG — identical on any engine/partitioning, so the sample is a "
+    "value-checked driver row, unlike engine-RNG Bernoulli samples. "
+    "Plans as TakeOrderedAndProject: per-partition top-k, no shuffle "
+    "(operators/sampling.py weighted_sample)",
+)
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.sampling import weighted_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return weighted_sample(
+        orders, "o_orderkey", "o_totalprice", k=200, seed="w7"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: share-of-total windows over an aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH a AS (
+      SELECT n_name, n_regionkey,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, n_regionkey
+    )
+    SELECT n_name, revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share_global,
+           round(revenue / sum(revenue) OVER (
+             PARTITION BY n_regionkey), 6) AS share_in_region
+    FROM a
+    """,
+    doc="Ratio-to-report: each nation's revenue share of the world "
+    "and of its region — unbounded window sums OVER the nation-grain "
+    "AGGREGATE (25 rows), never over the fact table; the heavy work "
+    "is one partial-agg'd groupBy, the share windows are driver-"
+    "trivial. The round-before-divide on both sides pins the "
+    "numerator/denominator to identical doubles cross-engine",
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "n_regionkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_all = Window.partitionBy()
+    w_reg = Window.partitionBy("n_regionkey")
+    return agg.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_global"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_reg), 6).alias(
+            "share_in_region"
+        ),
+    )

@@ -241,3 +241,27 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = _plan(SPECS["weighted_sample_orders"].fn(spark, SF0001))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_single_python_stage_and_broadcast_recount(spark):
+    plan = _plan(SPECS["token_heavy_hitters"].fn(spark, SF0001))
+    # one Arrow-batched python stage (the per-partition MG sketch);
+    # formatted explain repeats nodes in the detail section, so count
+    # tree-form "MapInPandas (<id>" occurrences only
+    assert plan.count("MapInPandas (") == 1
+    # ...and the recount joins the candidate set broadcast, never
+    # shuffling the exploded token stream by join key
+    assert "BroadcastHashJoin" in plan
+
+
+def test_local_supplier_volume_single_fact_shuffle_join(spark):
+    plan = _plan(SPECS["local_supplier_volume"].fn(spark, SF0001))
+    # dims ride broadcast joins; only lineitem⋈orders (and at larger
+    # SF customer) may shuffle — no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

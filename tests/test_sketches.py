@@ -63,3 +63,28 @@ def test_heavy_hitters_exact_end_to_end(spark):
     got = {r.key: r.n for r in heavy_hitters(df, "key", 0.1).collect()}
     # n = 1000; threshold > 100 → exactly a and b
     assert got == {"a": 300, "b": 200}
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 100.0 if i < 50 else 1.0) for i in range(1000)],
+        "id long, w double",
+    )
+    a = {r.id for r in weighted_sample(df, "id", "w", 100, "s1").collect()}
+    b = {
+        r.id
+        for r in weighted_sample(
+            df.repartition(7), "id", "w", 100, "s1"
+        ).collect()
+    }
+    assert a == b  # partitioning-independent
+    # the 50 heavy rows (weight 100 vs 1, 5% of rows) dominate the
+    # sample far beyond their population share
+    heavy = sum(1 for i in a if i < 50)
+    assert heavy >= 35
+    c = {r.id for r in weighted_sample(df, "id", "w", 100, "s2").collect()}
+    assert a != c  # independent draw per seed
