@@ -88,3 +88,34 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     assert heavy >= 35
     c = {r.id for r in weighted_sample(df, "id", "w", 100, "s2").collect()}
     assert a != c  # independent draw per seed
+
+
+def test_mg_bound_property_random_streams():
+    """Property: for ANY stream and batch split, capacity-k MG
+    undercounts every key by at most n/(k+1) and never overcounts
+    (hypothesis-driven, pure pandas — no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                 max_size=400),
+        st.integers(min_value=2, max_value=12),
+        st.integers(min_value=1, max_value=5),
+    )
+    def check(stream, k, n_batches):
+        true = Counter(stream)
+        n = len(stream)
+        summary = pd.Series(dtype="int64")
+        size = max(1, n // n_batches)
+        for i in range(0, n, size):
+            batch = pd.Series(stream[i : i + size]).value_counts()
+            summary = _mg_combine(summary, batch, k)
+            assert len(summary) <= k
+        for key, t in true.items():
+            est = int(summary.get(key, 0))
+            assert est <= t
+            assert t - est <= n / (k + 1)
+
+    check()
