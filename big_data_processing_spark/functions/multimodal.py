@@ -275,3 +275,126 @@ def make_ppm(width: int, height: int, seed: int) -> bytes:
     return (
         f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAVE PCM16 decode (pure numpy — no codec library)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, "
+    "mean_amp double, rms double, peak int"
+)
+
+
+def decode_wav(content: bytes):
+    """REAL RIFF/WAVE decode for uncompressed PCM16 mono — a proper
+    chunk walker (fmt /data in any order, unknown chunks skipped,
+    word-aligned), pure numpy like :func:`decode_netpbm` /
+    :func:`decode_bmp`. Returns (sample_rate, int16 sample array).
+    Raises ValueError on malformed RIFF and NotImplementedError for
+    compressed/float/multi-channel formats (codec libs absent from
+    the runtime — same honesty contract as the image path)."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, len(content)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"compressed WAV format {audio_format}")
+    if channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 mono supported, got {channels}ch/{bits}bit"
+        )
+    return sample_rate, np.frombuffer(
+        data[: (len(data) // 2) * 2], dtype="<i2"
+    )
+
+
+def make_wav(n_samples: int, seed: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic synthetic PCM16 mono WAV (fixture/demo
+    generator; sample i = ((seed*31 + i*737) mod 65536) - 32768)."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    v = ((seed * 31 + i * 737) % 65536 - 32768).astype("<i2")
+    data = v.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def extract_audio_features_real(df: DataFrame, content_col: str = "content"):
+    """Arrow-batched audio featurization over REAL decoded samples:
+    (sample_rate, n_samples, mean amplitude, RMS, peak |amp|) per
+    row, with per-row failure isolation (a corrupt blob nulls its
+    row, never kills the batch). Bytes stay executor-side; the
+    shuffle (if any, downstream) carries only the scalar features —
+    the 100 TB posture for media columns."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def kernel(batches):
+        def one(row):
+            try:
+                rate, v = decode_wav(row)
+                a = v.astype(np.int64)
+                return (
+                    int(rate),
+                    int(a.size),
+                    float(a.sum()) / a.size if a.size else 0.0,
+                    float(np.sqrt((a * a).sum() / a.size)) if a.size else 0.0,
+                    int(np.abs(a).max()) if a.size else 0,
+                )
+            except (ValueError, NotImplementedError):
+                return None
+
+        for pdf in batches:
+            feats = pdf[content_col].map(one)
+            ok = feats.notna()
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [t[0] if t else None for t in feats],
+                    "n_samples": [t[1] if t else None for t in feats],
+                    "mean_amp": [t[2] if t else None for t in feats],
+                    "rms": [t[3] if t else None for t in feats],
+                    "peak": [t[4] if t else None for t in feats],
+                    "decode_ok": ok,
+                }
+            )
+
+    return df.mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA + ", decode_ok boolean"
+    )

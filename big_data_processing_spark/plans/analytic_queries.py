@@ -396,3 +396,96 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_in_region"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV decode, value-checked (mirrors image_decode_features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audio_decode_features",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT ids.doc_id,
+             ((ids.doc_id * 31 + i.range * 737) % 65536) - 32768 AS v
+      FROM ids, range(0, 96) i
+      WHERE i.range < 64 + ids.doc_id % 32
+    )
+    SELECT doc_id AS media_id, 8000 AS sample_rate,
+           CAST(count(*) AS INT) AS n_samples,
+           round(avg(v), 6) AS mean_amp,
+           round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+           CAST(max(abs(v)) AS INT) AS peak
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL audio decode, value-checked: per doc a deterministic "
+    "PCM16 mono WAV is synthesized (sample i = (id*31 + i*737) mod "
+    "65536 - 32768, length 64 + id mod 32), parsed by the pure-numpy "
+    "RIFF chunk walker (functions/multimodal.py decode_wav), and "
+    "reduced to (sample_rate, n, mean, RMS, peak) inside the Arrow "
+    "kernel; the oracle regenerates the waveform arithmetically. "
+    "Bytes→samples→features end-to-end — the audio sibling of "
+    "image_decode_features",
+)
+def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id: int):
+            rate, v = decode_wav(
+                make_wav(64 + int(doc_id) % 32, seed=int(doc_id))
+            )
+            a = v.astype(np.int64)
+            return (
+                rate,
+                a.size,
+                float(a.sum()) / a.size,
+                float(np.sqrt((a * a).sum() / a.size)),
+                int(np.abs(a).max()),
+            )
+
+        for pdf in batches:
+            t = pdf["doc_id"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "sample_rate": t.map(lambda x: x[0]).astype("int32"),
+                    "n_samples": t.map(lambda x: x[1]).astype("int32"),
+                    "mean_amp": t.map(lambda x: x[2]),
+                    "rms": t.map(lambda x: x[3]),
+                    "peak": t.map(lambda x: x[4]).astype("int32"),
+                }
+            )
+
+    out = ids.mapInPandas(
+        kernel,
+        schema="media_id long, sample_rate int, n_samples int, "
+        "mean_amp double, rms double, peak int",
+    )
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )

@@ -150,3 +150,51 @@ def test_extract_image_features_real_end_to_end(spark):
     ref = image_to_features(decode_netpbm(make_ppm(8, 8, seed=1)), 4)
     assert np.allclose(out[1].feat, ref, atol=1e-6)
     assert out[3].feat == [0.0] * 4
+
+
+def test_wav_roundtrip_and_chunk_walker():
+    import struct
+
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+
+    wav = make_wav(100, seed=7, sample_rate=16000)
+    rate, v = decode_wav(wav)
+    assert rate == 16000 and v.size == 100 and v.dtype == np.dtype("<i2")
+    assert v[0] == 7 * 31 - 32768
+    assert v[1] == (7 * 31 + 737) % 65536 - 32768
+
+    # chunk walker: unknown odd-sized chunk BEFORE fmt must be
+    # skipped with word alignment, not break parsing
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    reordered = wav[:12] + junk + wav[12:]
+    rate2, v2 = decode_wav(reordered)
+    assert rate2 == 16000 and (v2 == v).all()
+
+
+def test_wav_decode_rejects_unsupported():
+    import struct
+
+    import pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+    wav = bytearray(make_wav(10, seed=1))
+    wav[22] = 2  # channels = 2 (stereo)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(wav))
+    wav = bytearray(make_wav(10, seed=1))
+    wav[20] = 3  # IEEE float format
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(wav))
