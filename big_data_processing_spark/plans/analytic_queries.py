@@ -489,3 +489,121 @@ def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence analytics: event-type transition matrix with dwell times
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             date_diff('microsecond', ts, lead(ts) OVER w) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type, next_type,
+           count(*) AS n,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0,
+                 3) AS avg_gap_s
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="Markov transition matrix over per-user event sequences: "
+    "lead() window partitioned by user (one keyed shuffle, bounded "
+    "per-user state) → grouped count + mean dwell seconds. The "
+    "(event_id) tie-break pins simultaneous-timestamp order cross-"
+    "engine, and the dwell mean is computed as exact integer-µs sum "
+    "÷ count ÷ 1e6 in that order on BOTH sides (float division is "
+    "order-sensitive; same exact integer → same double everywhere). "
+    "Sequence/journey analytics the reference cannot express",
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("gap_us"),
+    ).filter(F.col("next_type").isNotNull())
+    return s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            3,
+        ).alias("avg_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_triangles",
+    """
+    WITH p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT pa, pb FROM p GROUP BY pa, pb HAVING count(*) >= 2
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM e) AS n_edges
+    FROM e e1
+    JOIN e e2 ON e2.pa = e1.pb
+    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+    doc="Triangle count on the part co-purchase graph (edge = two "
+    "parts in >= 2 common orders). Edges are id-oriented (pa < pb) "
+    "so each triangle is counted once via two equi-joins — the "
+    "standard distributed triangle enumeration; the >= 2 support "
+    "filter is the degree valve (it prunes the long tail of "
+    "incidental co-occurrence that drives Σd(v)² at scale; at 100 TB "
+    "orient by DEGREE, not id, to bound the join fan-out to "
+    "O(m^1.5)). Per-order pair generation is a self-join on "
+    "orderkey — bounded by lines-per-order (~4), never corpus-"
+    "quadratic",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    e = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e2.pa") == F.col("e1.pb")).join(
+        e3,
+        (F.col("e3.pa") == F.col("e1.pa"))
+        & (F.col("e3.pb") == F.col("e2.pb")),
+    )
+    n_edges = e.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(n_edges))
+    )
