@@ -607,3 +607,117 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(F.broadcast(n_edges))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality: referential-integrity orphan audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "referential_orphans",
+    """
+    SELECT 'lineitem->orders' AS relationship,
+           count(*) AS n_child,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'customer->nation', count(*),
+           CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="Referential-integrity audit: orphan counts across the three "
+    "FK relationships via left joins (unmatched parent → NULL). "
+    "Each branch is one keyed join partial-agg'd to a single row, so "
+    "the union is three bounded jobs — the cross-table member of the "
+    "validation family (F3-F5 cover single-table nulls/violations)",
+)
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(child, parent, ckey, pkey, label):
+        j = child.join(parent, F.col(ckey) == F.col(pkey), "left")
+        return j.groupBy().agg(
+            F.lit(label).alias("relationship"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col(pkey).isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        ).select("relationship", "n_child", "n_orphans")
+
+    return (
+        audit(li, orders.select("o_orderkey"), "l_orderkey",
+              "o_orderkey", "lineitem->orders")
+        .unionAll(audit(orders, cust.select("c_custkey"), "o_custkey",
+                        "c_custkey", "orders->customer"))
+        .unionAll(audit(cust, nation, "c_nationkey", "n_nationkey",
+                        "customer->nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality: Benford first-digit distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), t AS (SELECT count(*) AS n FROM d)
+    SELECT digit, count(*) AS n_obs,
+           round(count(*) / (SELECT CAST(n AS DOUBLE) FROM t), 6)
+             AS p_obs,
+           round(log10(1.0 + 1.0 / digit), 6) AS p_benford
+    FROM d GROUP BY digit
+    """,
+    doc="Benford's-law audit: observed first-digit distribution of "
+    "order totals vs the log10(1+1/d) expectation — the classic "
+    "fabricated-data screen. One grouped count over a pure "
+    "projection (digit = first char of the integer part); the "
+    "9-row observed/expected table is what a fraud monitor "
+    "thresholds on. Both sides compute p_obs as count/total in one "
+    "double division",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    total = d.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(
+                F.col("n_obs") / F.col("_n").cast("double"), 6
+            ).alias("p_obs"),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6
+            ).alias("p_benford"),
+        )
+    )
