@@ -265,3 +265,30 @@ def test_local_supplier_volume_single_fact_shuffle_join(spark):
     # SF customer) may shuffle — no cartesian anywhere
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A dim-side filter on the fact's PARTITION column injects a
+    dynamicpruning expression into the fact scan's PartitionFilters:
+    only matching partition directories are listed and read. The
+    hive-layout analog of the bloom-filter row test above — at 100 TB
+    this is the difference between scanning one priority partition
+    and all of them."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(SF0001 + "/orders.parquet")
+    fact_path = str(tmp_path / "orders_by_prio")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(
+        fact_path
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("3-MEDIUM", 3)], "prio string, rank int"
+    ).filter(F.col("rank") == 1)
+    j = (
+        fact.join(dim, fact.o_orderpriority == dim.prio)
+        .groupBy("prio")
+        .count()
+    )
+    plan = _plan(j)
+    assert "dynamicpruningexpression" in plan.lower()
