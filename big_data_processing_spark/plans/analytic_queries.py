@@ -721,3 +721,67 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_benford"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join parity (driver-visible, value-checked)
+# ---------------------------------------------------------------------------
+
+_SJP_SEQ = __import__("itertools").count()
+
+
+@register(
+    "streaming_join_parity",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT date_trunc('hour', purchase_ts) AS purchase_hour,
+           count(*) AS n_pairs,
+           count(DISTINCT purchase_id) AS n_purchases,
+           round(sum(purchase_value), 6) AS total_purchase_value
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.click_ts <= p.purchase_ts
+      AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+    doc="Stream-STREAM join parity, value-checked end-to-end: the "
+    "REAL watermarked interval join (streaming/joins.py "
+    "interval_join_streams — both sides buffered in keyed state, "
+    "evicted by the other side's watermark minus the time bound) "
+    "runs over the events stream fanned out into purchase/click "
+    "sides, lands in a memory sink, and the pair table is aggregated "
+    "to per-hour attribution counts; the oracle is the equivalent "
+    "batch interval join. The finite file closes in one micro-batch, "
+    "so the inner join's emitted pair set is complete and the check "
+    "is exact — a state-eviction or join-condition regression breaks "
+    "this row",
+)
+def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.streaming.joins import (
+        purchase_click_attribution_stream,
+    )
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    pairs = purchase_click_attribution_stream(
+        stream, max_gap="1 hour", watermark="2 hours"
+    )
+    got = run_stream_to_memory(
+        pairs, f"sjp_{next(_SJP_SEQ)}", output_mode="append"
+    )
+    return got.groupBy(
+        F.date_trunc("hour", F.col("purchase_ts")).alias("purchase_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.round(F.sum("purchase_value"), 6).alias("total_purchase_value"),
+    )
