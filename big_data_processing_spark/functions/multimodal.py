@@ -4,13 +4,13 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs
 
 The Spark-side architecture here is real and tested — schemas,
 partitioning, UDF signatures, batch shapes. For image decode there
-are two kernels: ``decode_image_real`` REALLY decodes the
-uncompressed classics (binary netpbm P5/P6 and BI_RGB BMP) with
-numpy alone, raising ``NotImplementedError`` only for compressed
-formats (JPEG/PNG/WebP), whose codec libraries are not in this
-container; ``decode_image_stub`` remains the byte-statistics fake
-for exercising the plumbing on arbitrary bytes. Swapping kernels
-does not change any plan.
+are two kernels: ``decode_image_real`` REALLY decodes binary netpbm
+(P5/P6), BI_RGB BMP, and non-interlaced 8-bit PNG (stdlib ``zlib``
+inflate + numpy scanline unfilter — no codec library), raising
+``NotImplementedError`` only for formats whose codecs this
+container lacks (JPEG/WebP); ``decode_image_stub`` remains the
+byte-statistics fake for exercising the plumbing on arbitrary
+bytes. Swapping kernels does not change any plan.
 
 Scale notes
 -----------
@@ -118,10 +118,11 @@ def sample_video_frames(
 # ---------------------------------------------------------------------------
 # Real decode path for container-friendly formats
 # ---------------------------------------------------------------------------
-# JPEG/PNG need codec libraries this container lacks, but the
-# uncompressed classics decode with numpy alone — so the "real"
-# decode hook IS real for PPM/PGM (netpbm binary) and BI_RGB BMP,
-# and only falls back to NotImplementedError for compressed formats.
+# JPEG/WebP need codec libraries this container lacks, but the
+# classics decode without one — netpbm/BMP with numpy alone and PNG
+# with stdlib zlib + a numpy scanline unfilter — so the "real"
+# decode hook IS real for PPM/PGM, BI_RGB BMP and 8-bit PNG, and
+# only falls back to NotImplementedError for JPEG/WebP.
 
 
 def decode_netpbm(content: bytes):
@@ -192,16 +193,179 @@ def decode_bmp(content: bytes):
     return px[:, :, 2::-1].copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes):
+    """REAL PNG decode with stdlib ``zlib`` + numpy — no codec
+    library. Supports the non-interlaced 8-bit-depth color types
+    (gray / gray+alpha / RGB / RGBA): walks the chunk stream,
+    inflates the concatenated IDAT payload, and reverses the five
+    scanline filters (None/Sub/Up/Average/Paeth) per the spec.
+    Returns (h, w) uint8 for grayscale, (h, w, channels) otherwise.
+    Raises ValueError on malformed streams and NotImplementedError
+    for palette / 16-bit / Adam7-interlaced images."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, end = 8, len(content)
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= end:
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        if pos + 12 + length > end:
+            raise ValueError(
+                f"chunk {ctype!r} declares {length} bytes but only "
+                f"{end - pos - 12} remain"
+            )
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("IHDR must be 13 bytes")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(
+            f"palette PNG (color type {color_type}) not supported"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"decompressed size {len(raw)} != {h}x({stride}+1)"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        prev = (
+            out[y - 1].astype(np.int32)
+            if y
+            else np.zeros(stride, np.int32)
+        )
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 2:  # Up — no intra-row dependency: vectorized
+            rec = row + prev
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    # ties resolve a, then b, then c — spec order
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
+    """Deterministic synthetic PNG (fixture/demo generator): pixel
+    (x, y, c) = (seed + 3x + 7y + 11c) mod 256 — the same raster
+    arithmetic as :func:`make_ppm`, so a SQL oracle regenerates it.
+    Row y is encoded with scanline filter y mod 5, so a 5+-row image
+    exercises every unfilter path in :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    channels = {0: 1, 2: 3}[color_type]
+    xs = np.arange(w).reshape(1, w, 1)
+    ys = np.arange(h).reshape(h, 1, 1)
+    cs = np.arange(channels).reshape(1, 1, channels)
+    px = ((seed + 3 * xs + 7 * ys + 11 * cs) % 256).astype(np.int32)
+    stride = w * channels
+    flat = px.reshape(h, stride)
+    lines = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        a = np.concatenate([np.zeros(channels, np.int32), row[:-channels]]) \
+            if stride > channels else np.zeros(stride, np.int32)
+        c = np.concatenate([np.zeros(channels, np.int32), prev[:-channels]]) \
+            if stride > channels else np.zeros(stride, np.int32)
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:
+            enc = row - a
+        elif ftype == 2:
+            enc = row - prev
+        elif ftype == 3:
+            enc = row - (a + prev) // 2
+        else:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+            )
+            enc = row - pred
+        lines.append(ftype)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_real(content: bytes):
-    """Real decode hook: netpbm (P5/P6) and uncompressed BMP decode
-    with numpy alone; compressed formats (JPEG/PNG/WebP) raise until
-    a codec library is present. Returns an (h, w[, 3]) uint8 array."""
+    """Real decode hook: netpbm (P5/P6), uncompressed BMP, and
+    non-interlaced 8-bit PNG (stdlib zlib + numpy unfilter) decode
+    without any codec library; JPEG/WebP raise until one is present.
+    Returns an (h, w[, channels]) uint8 array."""
     if content[:2] in (b"P5", b"P6"):
         return decode_netpbm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG) not available in this "
+        "compressed image codecs (JPEG/WebP) not available in this "
         "container; install PIL/opencv for those formats"
     )
 
@@ -307,6 +471,14 @@ def decode_wav(content: bytes):
     while pos + 8 <= end:
         cid = content[pos : pos + 4]
         (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            # a declared chunk size overrunning the buffer is
+            # corruption — raise like other malformed inputs, never
+            # silently decode a truncated body
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes but only "
+                f"{end - pos - 8} remain"
+            )
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:
@@ -324,9 +496,11 @@ def decode_wav(content: bytes):
         raise NotImplementedError(
             f"only PCM16 mono supported, got {channels}ch/{bits}bit"
         )
-    return sample_rate, np.frombuffer(
-        data[: (len(data) // 2) * 2], dtype="<i2"
-    )
+    if len(data) % 2:
+        # PCM16 data must align to the 2-byte sample size; an odd
+        # data length is corruption, not a sample to drop
+        raise ValueError(f"PCM16 data chunk has odd length {len(data)}")
+    return sample_rate, np.frombuffer(data, dtype="<i2")
 
 
 def make_wav(n_samples: int, seed: int, sample_rate: int = 8000) -> bytes:

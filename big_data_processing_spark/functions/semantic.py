@@ -119,6 +119,139 @@ def kmeans_assign(
     return assign
 
 
+def kmeans_assign_twolevel(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target: int = 250,
+    sim_digits: int = 8,
+    centroid_digits: int = 6,
+) -> DataFrame:
+    """Coarse-quantize-then-refine two-level k-means — the scale
+    valve for ``kmeans_assign``'s k ∝ corpus scoring cost.
+
+    Flat Lloyd with k = n/target scores every vector against every
+    centroid: n·k = n²/target work, a ~20× measured slope for 10×
+    data (SCALE.md round-5 table). Two levels cut it to
+    n·(k1 + k2) ≈ 2n·√(n/target):
+
+    - **Coarse**: ``kmeans_assign`` with k1 = ⌈√(n/target)⌉ cells
+      (fixed-seed, 2 iterations) — linear-in-n broadcast scoring.
+    - **Refine**: within each cell, an independent sub-k-means with
+      k2 = max(1, cell_pop // target) sub-centroids (seeds = the k2
+      lowest ids in the cell). Scoring is an **equi-join on the
+      cell id** — each vector meets only its own cell's
+      sub-centroids, never the full centroid set. All cells refine
+      in ONE DataFrame plan; no per-cell driver loop.
+
+    Final clusters are (cell, sub) with ~target members — the same
+    bounded-population contract SemDeDup needs — exposed as a
+    single ``cluster = cell·100000 + sub`` id (documented cap:
+    <100k sub-clusters per cell, i.e. <25M vectors per cell at the
+    default target). At 100 TB the same construction recurses
+    (fixed branching per level → O(n log n) total); two levels
+    cover any corpus this sandbox can hold.
+
+    Determinism/rounding matches ``kmeans_assign`` exactly (cos
+    8 dp before argmax, ties to lowest sub id, centroid means 6 dp),
+    so a DuckDB oracle mirroring the recipe agrees bit-for-bit.
+
+    Returns (id_col, cell, sub, cluster, cos) — cos is the rounded
+    cosine to the winning sub-centroid.
+    """
+    import math
+
+    from big_data_processing_spark.functions.similarity import _dot
+
+    # Bounded driver scalar (mirrored by the oracle's scalar
+    # subquery): one count, not a collect of data.
+    n = emb.count()
+    k1 = max(2, math.ceil(math.sqrt(n / float(target))))
+
+    coarse = kmeans_assign(
+        emb, id_col=id_col, vec_col=vec_col, k=k1, iters=2,
+        sim_digits=sim_digits, centroid_digits=centroid_digits,
+    ).select(id_col, F.col("cluster").alias("cell"))
+
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # Member frame feeds seed selection, both scoring passes and the
+    # Lloyd update — materialize the coarse lineage ONCE (swept by
+    # release_leaked_checkpoints, same policy as semantic_dedup_pairs).
+    m = coarse.join(e, on=id_col).localCheckpoint(eager=True)
+
+    # Per-cell sub-k and deterministic seeds: the k2 lowest ids.
+    k2 = (
+        m.groupBy("cell")
+        .agg(F.count("*").alias("pop"))
+        .select(
+            "cell",
+            F.greatest(
+                F.lit(1), F.floor(F.col("pop") / F.lit(target))
+            ).cast("int").alias("k2"),
+        )
+    )
+    w_seed = Window.partitionBy("cell").orderBy(id_col)
+    centroids = (
+        m.withColumn("rn", F.row_number().over(w_seed))
+        .join(F.broadcast(k2), on="cell")
+        .filter(F.col("rn") <= F.col("k2"))
+        .select(
+            "cell",
+            (F.col("rn") - 1).cast("int").alias("sub"),
+            F.col("v").alias("c"),
+            F.col("nv").alias("nc"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("sub")
+    )
+    denom = F.col("nv") * F.col("nc")
+    score = F.when(
+        denom > 0, _dot(F.col("v"), F.col("c")) / denom
+    ).otherwise(F.lit(0.0))
+    assign = None
+    for it in range(2):
+        # Equi-join on cell: each vector scores only its own cell's
+        # sub-centroids — the two-level cost cut lives here.
+        scored = m.join(centroids, on="cell").select(
+            id_col,
+            "cell",
+            "sub",
+            F.round(score, sim_digits).alias("cos"),
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it == 1:
+            break
+        centroids = (
+            assign.join(m.select(id_col, "v"), on=id_col)
+            .select("cell", "sub", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "sub", "pos")
+            .agg(F.round(F.avg("val"), centroid_digits).alias("mu"))
+            .groupBy("cell", "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("c")
+            )
+            .withColumn("nc", F.sqrt(_dot(F.col("c"), F.col("c"))))
+        )
+    return assign.select(
+        id_col,
+        "cell",
+        "sub",
+        (F.col("cell").cast("long") * 100000 + F.col("sub"))
+        .alias("cluster"),
+        "cos",
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     assign: DataFrame,

@@ -286,18 +286,20 @@ def brute_force_cosine_topk_pandas(
             cos = (c_mat @ mat_q.T) / np.outer(c_norm, norm_q)
             out: dict[str, list] = {"query_id": [], id_col: [], "cos": []}
             for j, qid in enumerate(ids_q):
-                col = cos[:, j]
+                # round BEFORE selecting: the batch-local cut then
+                # uses exactly the (rounded cos desc, id asc) order
+                # of the global window AND the SQL oracle, so a
+                # last-ulp GEMM-vs-fold difference inside a rounded
+                # tie can never change which id survives the k
+                # boundary
+                col = np.round(cos[:, j], ndigits)
                 mask = c_ids != qid  # no self-matches
-                # lexsort: (cos desc, id asc) so the batch-local
-                # selection uses the same tie-break as the global
-                # window — argsort position order could drop the
-                # lower-id neighbor at a tie on the k boundary
                 order = np.lexsort((c_ids[mask], -col[mask]))[:k]
                 sel_ids = c_ids[mask][order]
                 sel_cos = col[mask][order]
                 out["query_id"] += [qid] * len(sel_ids)
                 out[id_col] += list(sel_ids)
-                out["cos"] += list(np.round(sel_cos, ndigits))
+                out["cos"] += list(sel_cos)
             yield pd.DataFrame(out)
 
     scored = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)

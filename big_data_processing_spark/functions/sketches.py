@@ -71,8 +71,12 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
 
     Output is the DISTINCT union of per-partition summary keys —
     guaranteed to contain every key with global frequency
-    > n/(k+1). At most k·num_partitions rows, so always
-    broadcastable.
+    > n/(k+1). At most k·num_partitions rows: small enough to
+    broadcast for the usual (small k, bounded partition count)
+    setup, but NOT unconditionally — a tiny ``threshold_frac`` on a
+    many-partition 100 TB scan can push k·P past the broadcast /
+    driver-memory budget, which is why :func:`heavy_hitters` checks
+    the k·P bound before choosing the broadcast plan.
     """
     sketched = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         _mg_partition_sketch(col, k), schema=f"{col} string, mg_count long"
@@ -94,15 +98,24 @@ def heavy_hitters(
 
     Scale note: three scans (sketch, total count, recount), each
     column-pruned to one column; at 100 TB fuse the total count
-    into the sketch pass or read it from table stats. The recount's
-    broadcast semi-join keeps the shuffle at |candidates| keys.
+    into the sketch pass or read it from table stats — and when the
+    keyed input sits on expensive lineage (an explode, a decode),
+    ``cache()`` it before calling, or the three scans re-execute
+    that lineage. The candidate join broadcasts only while the
+    k·num_partitions bound stays within a safe broadcast budget;
+    past it (tiny ``threshold_frac`` × many partitions) it falls
+    back to a shuffle semi-join rather than overrunning the driver.
     """
     k = capacity or int(math.ceil(1.0 / threshold_frac))
     keyed = df.select(F.col(col).cast("string").alias(col))
     cand = mg_candidates(keyed, col, k)
+    # k·P upper-bounds the candidate row count without running a
+    # count job; broadcast only under ~1M keys (≲ tens of MB).
+    if k * keyed.rdd.getNumPartitions() <= 1_000_000:
+        cand = F.broadcast(cand)
     total = keyed.groupBy().agg(F.count(F.lit(1)).alias("_total"))
     return (
-        keyed.join(F.broadcast(cand), col)
+        keyed.join(cand, col)
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
         .crossJoin(F.broadcast(total))

@@ -15,17 +15,42 @@ def fraction_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame
     return df.sample(fraction=fraction, seed=seed)
 
 
-def fixed_size_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+def fixed_size_sample(
+    df: DataFrame,
+    n: int,
+    seed: int = 42,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
     """SA2: exact-n random sample (reference capped pandas
     ``sample(n=1000)``, `main.py:166-169`).
 
-    Spark has no native exact-n sample; ``orderBy(rand(seed)).
-    limit(n)`` plans as TakeOrderedAndProject — a per-partition
-    top-n plus a driver merge of n rows per partition, not a full
-    sort. Determinism caveat (SURVEY.md §7.3): ``rand(seed)`` is
-    seeded per-partition, so results are stable only for a fixed
-    partitioning.
+    Spark has no native exact-n sample; both paths plan as
+    TakeOrderedAndProject — a per-partition top-n plus a driver
+    merge of n rows per partition, not a full sort.
+
+    With ``id_cols``, the random key is ``md5(seed:id...)`` — the
+    A-ES uniform-draw trick with uniform weights — so the sample is
+    identical on ANY engine and ANY partitioning (a value-checkable
+    driver row, and the reproducibility a training-data lineage
+    audit needs). Without ``id_cols`` it falls back to
+    ``rand(seed)``, which is seeded per-partition and therefore
+    stable only for a fixed partitioning (SURVEY.md §7.3 caveat).
     """
+    if id_cols:
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                *[F.col(c).cast("string") for c in id_cols],
+            )
+        )
+        key = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+        return (
+            df.withColumn("__skey", key)
+            .orderBy(F.col("__skey"), *[F.col(c) for c in id_cols])
+            .limit(n)
+            .drop("__skey")
+        )
     return df.orderBy(F.rand(seed)).limit(n)
 
 
@@ -81,7 +106,13 @@ def weighted_sample(
     rows per partition). Changing ``seed`` draws an independent
     sample; the same seed is exactly reproducible forever, which is
     what a training-data lineage audit needs.
+
+    A-ES requires strictly positive weights (weight < 0 would make
+    u^(1/w) > 1 and sort FIRST; weight = 0 a null key), so
+    non-positive-weight rows are filtered out — they have zero
+    inclusion probability under the sampling semantics anyway.
     """
+    df = df.filter(F.col(weight_col) > 0)
     h = F.md5(
         F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
     )

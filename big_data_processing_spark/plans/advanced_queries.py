@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from big_data_processing_spark.functions.semantic import (
     kmeans_assign,
+    kmeans_assign_twolevel,
     semantic_dedup_drops,
     semantic_dedup_pairs,
 )
@@ -137,6 +138,159 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar subquery)
     k = max(8, emb.count() // 250)
     assign = kmeans_assign(emb, k=k, iters=2)
+    pairs = semantic_dedup_pairs(emb, assign, tau=0.4)
+    return semantic_dedup_drops(pairs)
+
+
+# Two-level (coarse-quantize-then-refine) k-means — the scale valve
+# for the flat k ∝ n recipe above. CTE chain mirrors
+# functions/semantic.py kmeans_assign_twolevel bit-for-bit: coarse
+# Lloyd with k1 = ceil(sqrt(n/250)) (2 iterations, lowest-id seeds,
+# cos 8 dp / centroid 6 dp rounding), then an independent sub-Lloyd
+# per cell with k2 = max(1, pop // 250) (seeds = the k2 lowest ids
+# in the cell, scoring restricted to the own cell's sub-centroids).
+_TWOLEVEL_CTES = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kk AS (SELECT greatest(2, CAST(ceil(sqrt(count(*) / 250.0)) AS INT)) AS k1
+           FROM e),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e
+           WHERE vec_id < (SELECT k1 FROM kk)),
+    s1 AS (
+      SELECT e.vec_id, c0.cell,
+             round(list_dot_product(v, c) /
+                   (sqrt(list_dot_product(v, v)) *
+                    sqrt(list_dot_product(c, c))), 8) AS cos
+      FROM e, c0
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM s1) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cell, pos, round(avg(val), 6) AS m
+      FROM (
+        SELECT a1.cell, unnest(e.v) AS val,
+               generate_subscripts(e.v, 1) AS pos
+        FROM e JOIN a1 USING (vec_id))
+      GROUP BY cell, pos
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS c FROM m1 GROUP BY cell),
+    s2 AS (
+      SELECT e.vec_id, c1.cell,
+             round(list_dot_product(v, c) /
+                   (sqrt(list_dot_product(v, v)) *
+                    sqrt(list_dot_product(c, c))), 8) AS cos
+      FROM e, c1
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM s2) WHERE rn = 1
+    ),
+    mem AS (SELECT a2.cell, e.vec_id, e.v FROM e JOIN a2 USING (vec_id)),
+    kcell AS (SELECT cell, greatest(1, count(*) // 250) AS k2
+              FROM mem GROUP BY cell),
+    sub0 AS (
+      SELECT r.cell, CAST(rn - 1 AS INT) AS sub, v AS c FROM (
+        SELECT cell, vec_id, v, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id) AS rn
+        FROM mem) r JOIN kcell USING (cell)
+      WHERE rn <= k2
+    ),
+    t1 AS (
+      SELECT mem.vec_id, mem.cell, sub0.sub,
+             round(list_dot_product(mem.v, sub0.c) /
+                   (sqrt(list_dot_product(mem.v, mem.v)) *
+                    sqrt(list_dot_product(sub0.c, sub0.c))), 8) AS cos
+      FROM mem JOIN sub0 USING (cell)
+    ),
+    b1 AS (
+      SELECT vec_id, cell, sub FROM (
+        SELECT vec_id, cell, sub, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, sub) AS rn
+        FROM t1) WHERE rn = 1
+    ),
+    u1 AS (
+      SELECT cell, sub, pos, round(avg(val), 6) AS m
+      FROM (
+        SELECT b1.cell, b1.sub, unnest(mem.v) AS val,
+               generate_subscripts(mem.v, 1) AS pos
+        FROM mem JOIN b1 USING (vec_id))
+      GROUP BY cell, sub, pos
+    ),
+    sub1 AS (SELECT cell, sub, list(m ORDER BY pos) AS c
+             FROM u1 GROUP BY cell, sub),
+    t2 AS (
+      SELECT mem.vec_id, mem.cell, sub1.sub,
+             round(list_dot_product(mem.v, sub1.c) /
+                   (sqrt(list_dot_product(mem.v, mem.v)) *
+                    sqrt(list_dot_product(sub1.c, sub1.c))), 8) AS cos
+      FROM mem JOIN sub1 USING (cell)
+    ),
+    b2 AS (
+      SELECT vec_id, cell, sub, cos FROM (
+        SELECT vec_id, cell, sub, cos, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, sub) AS rn
+        FROM t2) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "kmeans_clusters_twolevel",
+    f"""
+    WITH {_TWOLEVEL_CTES}
+    SELECT vec_id, CAST(cell AS BIGINT) * 100000 + sub AS cluster, cos
+    FROM b2
+    """,
+    doc="Two-level coarse-quantize-then-refine k-means (the scale "
+    "valve for kmeans_clusters' k ∝ n scoring): k1=ceil(sqrt(n/250)) "
+    "coarse cells, then per-cell sub-Lloyd with k2=pop//250 scored "
+    "via an equi-join on the cell id — n·2sqrt(n/250) work instead "
+    "of n²/250, same ~250-member final clusters "
+    "(functions/semantic.py kmeans_assign_twolevel)",
+)
+def q_kmeans_clusters_twolevel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign_twolevel(emb).select("vec_id", "cluster", "cos")
+
+
+@register(
+    "semantic_dedup_twolevel",
+    f"""
+    WITH {_TWOLEVEL_CTES},
+    pairs AS (
+      SELECT CAST(a.cell AS BIGINT) * 100000 + a.sub AS cluster,
+             ea.vec_id AS id_a, eb.vec_id AS id_b,
+             round(list_dot_product(ea.v, eb.v) /
+                   (sqrt(list_dot_product(ea.v, ea.v)) *
+                    sqrt(list_dot_product(eb.v, eb.v))), 8) AS cos
+      FROM b2 a JOIN b2 b
+        ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+    )
+    SELECT cluster, id_b AS drop_id, id_a AS keep_id, cos
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+      FROM pairs WHERE cos >= 0.4
+    ) WHERE rn = 1
+    """,
+    doc="SemDeDup over the two-level assignment: within-(cell,sub) "
+    "cosine pruning, keep-lowest-id. Inherits the valve's bounded "
+    "~250-member clusters, so pair work stays linear in the corpus "
+    "where the flat recipe's scoring was quadratic",
+)
+def q_semantic_dedup_twolevel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign_twolevel(emb).select("vec_id", "cluster")
     pairs = semantic_dedup_pairs(emb, assign, tau=0.4)
     return semantic_dedup_drops(pairs)
 
@@ -771,6 +925,79 @@ def q_incremental_rollup_parity(
 # ---------------------------------------------------------------------------
 # Real image decode, value-checked end-to-end
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "png_decode_features",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT ids.doc_id,
+             (ids.doc_id + 3 * x.range + 7 * y.range + 11 * c.range)
+               % 256 AS v
+      FROM ids, range(0, 8) x, range(0, 6) y, range(0, 3) c
+    )
+    SELECT doc_id AS media_id, 8 AS width, 6 AS height,
+           round(avg(v), 6) AS mean_pixel
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL PNG decode, value-checked: per doc a deterministic "
+    "8-bit RGB PNG is synthesized with scanline filter y mod 5 (so "
+    "all five filters — None/Sub/Up/Average/Paeth — are exercised), "
+    "decoded by stdlib-zlib inflate + the numpy unfilter "
+    "(functions/multimodal.py decode_png), and reduced to "
+    "(width, height, mean_pixel) inside the Arrow kernel; the oracle "
+    "regenerates the raster arithmetically. Same pixel formula as "
+    "image_decode_features — a filter-reversal bug breaks this row",
+)
+def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_image_real,
+        make_png,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id: int):
+            img = decode_image_real(make_png(8, 6, seed=int(doc_id)))
+            h, w = img.shape[:2]
+            return w, h, float(np.asarray(img, dtype=np.int64).sum()) \
+                / img.size
+
+        for pdf in batches:
+            trip = pdf["doc_id"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "width": trip.map(lambda t: t[0]).astype("int32"),
+                    "height": trip.map(lambda t: t[1]).astype("int32"),
+                    "mean_pixel": trip.map(lambda t: t[2]),
+                }
+            )
+
+    out = ids.mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, mean_pixel double",
+    )
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
 
 
 @register(

@@ -727,9 +727,6 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stream-stream join parity (driver-visible, value-checked)
 # ---------------------------------------------------------------------------
 
-_SJP_SEQ = __import__("itertools").count()
-
-
 @register(
     "streaming_join_parity",
     """
@@ -757,12 +754,18 @@ _SJP_SEQ = __import__("itertools").count()
     "runs over the events stream fanned out into purchase/click "
     "sides, lands in a memory sink, and the pair table is aggregated "
     "to per-hour attribution counts; the oracle is the equivalent "
-    "batch interval join. The finite file closes in one micro-batch, "
-    "so the inner join's emitted pair set is complete and the check "
-    "is exact — a state-eviction or join-condition regression breaks "
-    "this row",
+    "batch interval join. Events are re-chunked into 4 time-range-"
+    "ordered files delivered one per micro-batch, so CROSS-BATCH "
+    "state buffering and watermark eviction are exercised end-to-"
+    "end: a batch-2 purchase must still find its batch-1 clicks in "
+    "the join state, while state older than watermark+gap has been "
+    "evicted. In-order arrival means no datum is later than the "
+    "watermark, so the check stays exact — a state-eviction or "
+    "join-condition regression breaks this row",
 )
 def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     from big_data_processing_spark.streaming.joins import (
         purchase_click_attribution_stream,
     )
@@ -771,17 +774,35 @@ def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
     )
 
-    stream = read_event_stream(spark, sf_dir)
+    # Time-range chunking (ascending partition ranges → lexicographic
+    # file order → in-arrival-order micro-batches): late data never
+    # crosses the watermark, so the multi-batch run is exact.
+    work = tempfile.mkdtemp(prefix="sjp_chunks_")
+    events = load_table(spark, sf_dir, "events")
+    events.repartitionByRange(4, "ts").write.parquet(f"{work}/chunks")
+    # FileStreamSource batches new files by modification time; the
+    # write stamps all 4 chunks in the same instant, so pin mtimes
+    # ascending in partition order (part-00000 = earliest ts range)
+    # to make arrival order deterministic and time-ordered.
+    import glob as globmod
+    import os
+
+    for i, p in enumerate(
+        sorted(globmod.glob(f"{work}/chunks/part-*.parquet"))
+    ):
+        os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    stream = read_event_stream(spark, f"{work}/chunks", glob="part-*.parquet")
     pairs = purchase_click_attribution_stream(
         stream, max_gap="1 hour", watermark="2 hours"
     )
-    got = run_stream_to_memory(
-        pairs, f"sjp_{next(_SJP_SEQ)}", output_mode="append"
-    )
-    return got.groupBy(
+    # Fixed sink name: re-invocation replaces the memory table
+    # instead of accumulating sjp_N pair tables in driver memory.
+    got = run_stream_to_memory(pairs, "sjp", output_mode="append")
+    out = got.groupBy(
         F.date_trunc("hour", F.col("purchase_ts")).alias("purchase_hour")
     ).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("purchase_id").alias("n_purchases"),
         F.round(F.sum("purchase_value"), 6).alias("total_purchase_value"),
     )
+    return out

@@ -824,10 +824,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fixed_size_sample",
-    None,  # rand()-ordered → rows-only check (SA2 has no native exact-n op)
-    doc="SA2 fixed-size sample: orderBy(rand(seed)).limit(n) — "
-    "deterministic per (seed, partitioning); documented caveat in "
-    "operators/sampling.py",
+    """
+    WITH s AS (
+      SELECT l.*,
+             CAST(concat('0x', substr(md5(concat('42:',
+                    CAST(l_orderkey AS VARCHAR), ':',
+                    CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT)
+               AS skey
+      FROM lineitem l
+    )
+    SELECT * EXCLUDE (skey) FROM s
+    ORDER BY skey, l_orderkey, l_linenumber LIMIT 1000
+    """,
+    doc="SA2 fixed-size sample, value-checked: exact-n draw keyed by "
+    "md5(seed:id) (the A-ES uniform-draw trick with uniform weights) "
+    "— identical rows on any engine and any partitioning, unlike the "
+    "rand(seed) fallback. Plans as TakeOrderedAndProject: "
+    "per-partition top-n, no shuffle (operators/sampling.py "
+    "fixed_size_sample)",
 )
 def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.operators.sampling import (
@@ -835,7 +849,9 @@ def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = load_table(spark, sf_dir, "lineitem")
-    return fixed_size_sample(df, n=1000, seed=42)
+    return fixed_size_sample(
+        df, n=1000, seed=42, id_cols=["l_orderkey", "l_linenumber"]
+    )
 
 
 @register(
@@ -907,9 +923,11 @@ def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cosine_topk_blas",
-    None,  # numpy pairwise summation differs from the JVM fold in the
-    # last ulp → rows-only here; id/rank agreement with the
-    # oracle-checked JVM path is unit-tested (tests/test_similarity.py)
+    _ANN_ORACLE,  # value-checked: the kernel rounds to the repo grid
+    # BEFORE its batch-local cut, so selection order matches the
+    # oracle's (rounded cos desc, id) exactly; a last-ulp GEMM-vs-
+    # fold difference cannot cross the 1e-8 grid (same residual
+    # boundary risk every rounded float query accepts)
     doc="Arrow-batched numpy GEMM cosine top-k (the high-dim path: one "
     "BLAS matmul per batch, per-batch local top-k, global rank)",
 )

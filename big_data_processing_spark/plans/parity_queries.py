@@ -94,6 +94,32 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES_A1(spark, sf_dir)
 
 
+# Exact cross-engine double aggregation: floating-point sums are
+# order-dependent, so once a table spans multiple scan partitions
+# (sf1: 6M rows) Spark's partial-sum tree and DuckDB's sequential
+# scan diverge in the last ulp and the raw double no longer
+# hash-matches. Summing in fixed point — each addend rounded to 6
+# decimals, cast to DECIMAL(30,6) (the round first makes the cast
+# exact: a rounded double sits ~1e-16 ulp from its decimal value,
+# never near a cast boundary, where a full-precision ratio's cast
+# is engine-dependent), an exact associative sum, one final cast to
+# double — is bit-identical on any engine, any partitioning, any
+# scan parallelism. Also the right 100 TB answer for money
+# aggregation: the result stops depending on cluster size.
+def _dsum(col: str):
+    return F.sum(
+        F.round(F.col(col), 6).cast("decimal(30,6)")
+    ).cast("double")
+
+
+def _davg(col: str):
+    return _dsum(col) / F.count(F.lit(1))
+
+
+DSUM_SQL = "CAST(sum(CAST(round({c}, 6) AS DECIMAL(30,6))) AS DOUBLE)"
+DAVG_SQL = DSUM_SQL + " / count(*)"
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Filters
 # ---------------------------------------------------------------------------
@@ -197,16 +223,17 @@ def q_sink_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag,
            count(*) AS total_trips,
-           sum(l_extendedprice) AS total_revenue,
-           avg(l_quantity) AS avg_quantity,
-           avg(l_extendedprice) AS avg_price,
-           avg(l_discount) AS avg_discount,
-           avg(l_tax) AS avg_tax
+           {DSUM_SQL.format(c="l_extendedprice")} AS total_revenue,
+           {DAVG_SQL.format(c="l_quantity")} AS avg_quantity,
+           {DAVG_SQL.format(c="l_extendedprice")} AS avg_price,
+           {DAVG_SQL.format(c="l_discount")} AS avg_discount,
+           {DAVG_SQL.format(c="l_tax")} AS avg_tax
     FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE})
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     doc="A1 grouped agg by vendor-like key over the cleaned table "
-    "(spark_processor.py:223-232)",
+    "(spark_processor.py:223-232); fixed-point sums so the values "
+    "are partitioning-independent at every scale",
 )
 def QUERIES_A1(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = clean(_lineitem(spark, sf_dir))
@@ -215,11 +242,11 @@ def QUERIES_A1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         [
             F.count(F.lit(1)).alias("total_trips"),
-            F.sum("l_extendedprice").alias("total_revenue"),
-            F.avg("l_quantity").alias("avg_quantity"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_discount"),
-            F.avg("l_tax").alias("avg_tax"),
+            _dsum("l_extendedprice").alias("total_revenue"),
+            _davg("l_quantity").alias("avg_quantity"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_discount"),
+            _davg("l_tax").alias("avg_tax"),
         ],
     )
 
@@ -229,15 +256,21 @@ def QUERIES_A1(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT qty_category,
            count(*) AS total_trips,
-           avg(l_extendedprice) AS avg_price,
-           avg(l_quantity) AS avg_quantity,
-           avg(l_discount) AS avg_discount,
-           avg(price_per_unit) AS avg_price_per_unit
+           {DAVG_SQL.format(c="l_extendedprice")} AS avg_price,
+           {DAVG_SQL.format(c="l_quantity")} AS avg_quantity,
+           {DAVG_SQL.format(c="l_discount")} AS avg_discount,
+           CAST(sum(CAST(floor(price_per_unit * 1000000) AS BIGINT))
+                AS DOUBLE) / count(*) / 1000000 AS avg_price_per_unit
     FROM (SELECT {ENRICH_SELECT}
           FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE}))
     GROUP BY qty_category ORDER BY qty_category
     """,
-    doc="A2 grouped agg by derived bucket (spark_processor.py:258-266)",
+    doc="A2 grouped agg by derived bucket (spark_processor.py:258-266); "
+    "fixed-point sums so the values are partitioning-independent. The "
+    "derived ratio aggregates via floor(x*1e6) — round()/decimal-cast "
+    "of a full-precision ratio is engine-dependent at half "
+    "boundaries, while floor of the identical IEEE expression tree "
+    "is bit-identical and the integer sum is order-free",
 )
 def q_category_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = enrich(clean(_lineitem(spark, sf_dir)))
@@ -246,10 +279,16 @@ def q_category_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["qty_category"],
         [
             F.count(F.lit(1)).alias("total_trips"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_quantity").alias("avg_quantity"),
-            F.avg("l_discount").alias("avg_discount"),
-            F.avg("price_per_unit").alias("avg_price_per_unit"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_quantity").alias("avg_quantity"),
+            _davg("l_discount").alias("avg_discount"),
+            (
+                F.sum(
+                    F.floor(F.col("price_per_unit") * 1000000)
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1000000
+            ).alias("avg_price_per_unit"),
         ],
     )
 
@@ -259,15 +298,16 @@ def q_category_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_linestatus,
            count(*) AS total_trips,
-           avg(l_extendedprice) AS avg_price,
-           avg(l_discount) AS avg_discount,
-           round(avg(l_discount) / avg(l_extendedprice) * 100.0, 6)
+           {DAVG_SQL.format(c="l_extendedprice")} AS avg_price,
+           {DAVG_SQL.format(c="l_discount")} AS avg_discount,
+           round(({DAVG_SQL.format(c="l_discount")})
+                 / ({DAVG_SQL.format(c="l_extendedprice")}) * 100.0, 6)
              AS discount_price_ratio_pct
     FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE})
     GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     doc="A3 grouped agg with post-agg ratio-of-averages, preserved exactly "
-    "(spark_processor.py:295-303, expr :301)",
+    "(spark_processor.py:295-303, expr :301); fixed-point sums",
 )
 def q_payment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = clean(_lineitem(spark, sf_dir))
@@ -276,10 +316,10 @@ def q_payment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_linestatus"],
         [
             F.count(F.lit(1)).alias("total_trips"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_discount"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_discount"),
             F.round(
-                F.avg("l_discount") / F.avg("l_extendedprice") * 100.0, 6
+                _davg("l_discount") / _davg("l_extendedprice") * 100.0, 6
             ).alias("discount_price_ratio_pct"),
         ],
     )
@@ -399,9 +439,9 @@ def q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag, qty_category,
            count(*) AS trip_count,
-           avg(l_extendedprice) AS avg_price,
-           avg(l_discount) AS avg_discount,
-           avg(l_quantity) AS avg_quantity
+           {DAVG_SQL.format(c="l_extendedprice")} AS avg_price,
+           {DAVG_SQL.format(c="l_discount")} AS avg_discount,
+           {DAVG_SQL.format(c="l_quantity")} AS avg_quantity
     FROM (SELECT {ENRICH_SELECT}
           FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE}))
     GROUP BY l_returnflag, qty_category
@@ -409,7 +449,7 @@ def q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     doc="A11/§2.9 SQL surface: two-key GROUP BY via spark.sql over a temp "
-    "view (main.py:332-340)",
+    "view (main.py:332-340); fixed-point sums",
 )
 def q_two_key_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     enrich(clean(_lineitem(spark, sf_dir))).createOrReplaceTempView(
@@ -419,9 +459,12 @@ def q_two_key_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, qty_category,
                count(*) AS trip_count,
-               avg(l_extendedprice) AS avg_price,
-               avg(l_discount) AS avg_discount,
-               avg(l_quantity) AS avg_quantity
+               CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6)))
+                    AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(round(l_discount, 6) AS DECIMAL(30,6)))
+                    AS DOUBLE) / count(*) AS avg_discount,
+               CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(30,6)))
+                    AS DOUBLE) / count(*) AS avg_quantity
         FROM lineitem_processed
         GROUP BY l_returnflag, qty_category
         ORDER BY l_returnflag, qty_category

@@ -41,7 +41,15 @@ def line_chart_svg(
     points: Sequence[tuple[str, float]], title: str, color: str = "#2563eb"
 ) -> str:
     """Single-series line chart as an SVG string. ``points`` are
-    (x_label, y) pairs already in x order."""
+    (x_label, y) pairs already in x order. An empty series renders a
+    placeholder chart instead of raising from min()/max()."""
+    if not points:
+        return (
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" '
+            f'height="{_H}"><text x="{_W / 2}" y="{_H / 2}" '
+            f'text-anchor="middle" font-size="13">'
+            f"{html.escape(title)}: no data</text></svg>"
+        )
     ys = [p[1] for p in points]
     sy, vmin, vmax = _scale(ys, _H - _PAD, _PAD)
     n = max(len(points) - 1, 1)

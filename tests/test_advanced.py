@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from big_data_processing_spark.functions.semantic import (
     kmeans_assign,
+    kmeans_assign_twolevel,
     semantic_dedup_drops,
     semantic_dedup_pairs,
 )
@@ -81,6 +82,56 @@ def test_semantic_dedup_keep_lowest(spark):
     }
     # 2 and 3 both drop, each keeping the LOWEST partner (0)
     assert drops == {2: 0, 3: 0}
+
+
+def test_kmeans_twolevel_partitions_and_bounds(spark):
+    # 40 vectors in two orthogonal bands; target=5 forces a real
+    # two-level split: k1 = ceil(sqrt(40/5)) = 3 coarse cells, then
+    # per-cell sub-clusters of ~5 members each.
+    rows = []
+    for i in range(20):
+        rows.append((i * 2, [1.0, 0.001 * i]))
+        rows.append((i * 2 + 1, [0.001 * i, 1.0]))
+    out = kmeans_assign_twolevel(_emb(spark, rows), target=5).collect()
+    # every vector assigned exactly once
+    assert sorted(r.vec_id for r in out) == sorted(i for i, _ in rows)
+    # composite id is consistent with (cell, sub)
+    assert all(r.cluster == r.cell * 100000 + r.sub for r in out)
+    # enough sub-centroids were created that the AVERAGE final
+    # population stays ~target (Lloyd bounds the centroid count —
+    # pop // target per cell — not each cluster's max population)
+    pops = {}
+    for r in out:
+        pops[r.cluster] = pops.get(r.cluster, 0) + 1
+    assert len(pops) >= len(rows) // (2 * 5)
+    assert len(rows) / len(pops) <= 2 * 5
+    # the two bands never share a final cluster (refine respects the
+    # coarse semantic split)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id % 2)
+    assert all(len(bands) == 1 for bands in by_cluster.values())
+
+
+def test_semantic_dedup_twolevel_finds_planted_dups(spark):
+    # planted near-dup pairs land in the same (cell, sub) cluster
+    # and the keep-lowest policy drops the higher id
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.001]),  # near-dup of 0
+        (3, [0.0, 0.999]),  # near-dup of 1 (scaled)
+    ]
+    emb = _emb(spark, rows)
+    assign = kmeans_assign_twolevel(emb, target=2).select(
+        "vec_id", "cluster"
+    )
+    pairs = semantic_dedup_pairs(emb, assign, tau=0.999)
+    drops = {
+        r.drop_id: r.keep_id
+        for r in semantic_dedup_drops(pairs).collect()
+    }
+    assert drops == {2: 0, 3: 1}
 
 
 def test_blocked_fuzzy_join_blocks_and_verifies(spark):

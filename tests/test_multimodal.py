@@ -38,7 +38,9 @@ def test_stub_decode_deterministic():
     assert a == b and len(a) == 8
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_rejects_unknown_magic():
+    # a 4-byte fragment is not the full 8-byte PNG signature, so it
+    # routes to the honest NotImplementedError for unknown formats
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
 
@@ -198,3 +200,69 @@ def test_wav_decode_rejects_unsupported():
     wav[20] = 3  # IEEE float format
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(wav))
+    # a truncated buffer (chunk size overruns) raises — corruption
+    # is never silently decoded to fewer samples
+    wav = bytes(make_wav(10, seed=1))
+    with pytest.raises(ValueError):
+        decode_wav(wav[:-3])
+    # odd-length PCM16 data chunk is corruption, not a dropped byte
+    odd = bytearray(make_wav(10, seed=1))
+    odd[40:44] = struct.pack("<I", 19)  # data size 20 → 19
+    with pytest.raises(ValueError):
+        decode_wav(bytes(odd[:-1]))
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_png,
+        make_png,
+    )
+
+    # 6 rows → filters 0,1,2,3,4,0 all exercised; decode must
+    # reconstruct the exact raster through zlib + unfilter
+    img = decode_png(make_png(8, 6, seed=13))
+    assert img.shape == (6, 8, 3)
+    xs = np.arange(8).reshape(1, 8, 1)
+    ys = np.arange(6).reshape(6, 1, 1)
+    cs = np.arange(3).reshape(1, 1, 3)
+    want = ((13 + 3 * xs + 7 * ys + 11 * cs) % 256).astype(np.uint8)
+    assert (img == want).all()
+    # grayscale color type decodes to 2-D
+    g = decode_png(make_png(5, 7, seed=3, color_type=0))
+    assert g.shape == (7, 5)
+    wantg = ((3 + 3 * np.arange(5).reshape(1, 5)
+              + 7 * np.arange(7).reshape(7, 1)) % 256).astype(np.uint8)
+    assert (g == wantg).all()
+
+
+def test_png_rejects_malformed():
+    import struct
+    import zlib
+
+    import pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_image_real,
+        decode_png,
+        make_png,
+    )
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    png = make_png(4, 4, seed=1)
+    # chop IEND (12 bytes) plus part of IDAT's CRC: the IDAT chunk
+    # now declares more bytes than remain → overrun error
+    with pytest.raises(ValueError):
+        decode_png(png[:-16])
+    # interlaced flag → honest NotImplementedError (IHDR byte 28:
+    # 8 sig + 8 chunk hdr + 12 = offset 28 is the interlace field)
+    lace = bytearray(png)
+    lace[28] = 1
+    ihdr = bytes(lace[16:29])
+    lace[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(lace))
+    # decode_image_real routes PNG by signature
+    assert decode_image_real(png).shape == (4, 4, 3)

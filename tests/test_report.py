@@ -20,6 +20,15 @@ def test_chart_svg_shapes():
     assert bar.count("<rect") == 2
 
 
+def test_chart_svg_empty_series():
+    # empty input renders a valid placeholder, never raises from
+    # min()/max() on an empty sequence
+    svg = line_chart_svg([], "Empty")
+    assert svg.startswith("<svg") and "no data" in svg
+    bar = bar_chart_svg([], "Empty bars")
+    assert bar.startswith("<svg") and "<rect" not in bar
+
+
 def test_daily_order_stats_bounded(spark):
     rows = daily_order_stats(spark, SF0001).collect()
     assert 0 < len(rows) <= 3700  # daily grain over the corpus span

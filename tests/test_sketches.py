@@ -90,6 +90,19 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     assert a != c  # independent draw per seed
 
 
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from big_data_processing_spark.operators.sampling import weighted_sample
+
+    # A-ES precondition: weight <= 0 rows are excluded, never
+    # preferentially sampled (w<0 would make u^(1/w) > 1) or keyed
+    # null (w=0)
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -3.0), (3, 0.0), (4, 1.0)], "id long, w double"
+    )
+    got = {r.id for r in weighted_sample(df, "id", "w", 10, "s").collect()}
+    assert got == {1, 4}
+
+
 def test_mg_bound_property_random_streams():
     """Property: for ANY stream and batch split, capacity-k MG
     undercounts every key by at most n/(k+1) and never overcounts
