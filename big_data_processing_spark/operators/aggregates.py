@@ -26,6 +26,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Exact cross-engine double aggregation (the repo-wide fixed-point
+# policy, round 6): floating-point sums are order-dependent, so once
+# a scan spans multiple partitions two engines' partial-sum trees
+# diverge in the last ulp — and a rounded output then gambles on the
+# noise not straddling a rounding boundary (lost once at sf1).
+# Summing each addend rounded to 6 decimals and cast to
+# DECIMAL(30,6) (the round first keeps the cast away from the
+# engine-dependent half-boundary of a full-precision double) is an
+# exact associative sum: bit-identical on any engine, partitioning,
+# or cluster size. The matching oracle spellings are DSUM_SQL /
+# DAVG_SQL — valid in both Spark SQL and DuckDB. For full-precision
+# derived values (ratios, products), aggregate floor(x·10^s) as an
+# integer sum instead: floor of the identical IEEE expression tree
+# is bit-identical where round()/decimal-cast is not.
+def dsum(col: str) -> Column:
+    return F.sum(
+        F.round(F.col(col), 6).cast("decimal(30,6)")
+    ).cast("double")
+
+
+def davg(col: str) -> Column:
+    return dsum(col) / F.count(F.lit(1))
+
+
+DSUM_SQL = "CAST(sum(CAST(round({c}, 6) AS DECIMAL(30,6))) AS DOUBLE)"
+DAVG_SQL = DSUM_SQL + " / count(*)"
+
+
 def grouped_stats(
     df: DataFrame,
     keys: list[str],

@@ -766,7 +766,8 @@ def q_cdc_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_extendedprice), 2) AS revenue
+           round(CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6)))
+                 AS DOUBLE), 2) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -784,7 +785,8 @@ def q_grouping_sets_flag_status(
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               round(sum(l_extendedprice), 2) AS revenue
+               round(CAST(sum(CAST(round(l_extendedprice, 6)
+                     AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_processing_spark.functions.sketches import heavy_hitters
+from big_data_processing_spark.operators.aggregates import dsum
 from big_data_processing_spark.operators.windows import rolling_median
 from big_data_processing_spark.plans.registry import register
 from big_data_processing_spark.sources.catalog import load_table
@@ -210,7 +211,9 @@ def q_cumulative_distinct_users(
     "local_supplier_volume",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(floor(
+                   l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -227,7 +230,11 @@ def q_cumulative_distinct_users(
     "joins on custkey — broadcast at test SF, a keyed shuffle at "
     "100 TB where Catalyst's size estimate flips it automatically. "
     "Filter c_nationkey = s_nationkey applied in the join condition "
-    "so mismatched rows never reach the agg",
+    "so mismatched rows never reach the agg. Revenue aggregates in "
+    "fixed point (floor(x·1e4) integer sum): a raw double sum's "
+    "order-dependence diverged across engines exactly on a 2 dp "
+    "rounding boundary at sf1 — floor of the identical IEEE product "
+    "is bit-identical and the integer sum is order-free",
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -253,7 +260,15 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 10000
+                )
+            ).cast("double")
+            / 10000,
+            2,
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
@@ -351,7 +366,8 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT n_name, n_regionkey,
-             round(sum(o_totalprice), 2) AS revenue
+             round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(30,6)))
+                   AS DOUBLE), 2) AS revenue
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -382,7 +398,7 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "n_regionkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(dsum("o_totalprice"), 2).alias("revenue"))
     )
     w_all = Window.partitionBy()
     w_reg = Window.partitionBy("n_regionkey")

@@ -94,30 +94,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES_A1(spark, sf_dir)
 
 
-# Exact cross-engine double aggregation: floating-point sums are
-# order-dependent, so once a table spans multiple scan partitions
-# (sf1: 6M rows) Spark's partial-sum tree and DuckDB's sequential
-# scan diverge in the last ulp and the raw double no longer
-# hash-matches. Summing in fixed point — each addend rounded to 6
-# decimals, cast to DECIMAL(30,6) (the round first makes the cast
-# exact: a rounded double sits ~1e-16 ulp from its decimal value,
-# never near a cast boundary, where a full-precision ratio's cast
-# is engine-dependent), an exact associative sum, one final cast to
-# double — is bit-identical on any engine, any partitioning, any
-# scan parallelism. Also the right 100 TB answer for money
-# aggregation: the result stops depending on cluster size.
-def _dsum(col: str):
-    return F.sum(
-        F.round(F.col(col), 6).cast("decimal(30,6)")
-    ).cast("double")
-
-
-def _davg(col: str):
-    return _dsum(col) / F.count(F.lit(1))
-
-
-DSUM_SQL = "CAST(sum(CAST(round({c}, 6) AS DECIMAL(30,6))) AS DOUBLE)"
-DAVG_SQL = DSUM_SQL + " / count(*)"
+# Exact cross-engine double aggregation — canonical definitions and
+# rationale in operators/aggregates.py (dsum/davg/DSUM_SQL/DAVG_SQL).
+from big_data_processing_spark.operators.aggregates import (  # noqa: E402
+    DAVG_SQL,
+    DSUM_SQL,
+    davg as _davg,
+    dsum as _dsum,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -400,9 +384,9 @@ def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(avg_price), 6) AS mean_avg_price
     FROM (
       SELECT l_returnflag, count(*) AS total_trips,
-             sum(l_extendedprice) AS total_revenue,
-             avg(l_quantity) AS avg_quantity,
-             avg(l_extendedprice) AS avg_price
+             {DSUM_SQL.format(c="l_extendedprice")} AS total_revenue,
+             {DAVG_SQL.format(c="l_quantity")} AS avg_quantity,
+             {DAVG_SQL.format(c="l_extendedprice")} AS avg_price
       FROM (SELECT * FROM lineitem WHERE {CLEAN_WHERE})
       GROUP BY l_returnflag
     )
@@ -504,12 +488,12 @@ def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_flag_status",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
            count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_price
+           round({DSUM_SQL.format(c="l_quantity")}, 2) AS sum_qty,
+           round({DSUM_SQL.format(c="l_extendedprice")}, 2) AS sum_price
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY gid, l_returnflag, l_linestatus
@@ -526,8 +510,8 @@ def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+            F.round(_dsum("l_extendedprice"), 2).alias("sum_price"),
         )
         .select(
             "l_returnflag", "l_linestatus", "gid", "n", "sum_qty", "sum_price"
@@ -538,11 +522,11 @@ def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cube_flag_status",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
            count(*) AS n,
-           round(avg(l_quantity), 6) AS avg_qty
+           round({DAVG_SQL.format(c="l_quantity")}, 6) AS avg_qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     ORDER BY gid, l_returnflag, l_linestatus
@@ -557,7 +541,7 @@ def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(_davg("l_quantity"), 6).alias("avg_qty"),
         )
         .select(
             "l_returnflag", "l_linestatus", "gid", "n", "avg_qty"
