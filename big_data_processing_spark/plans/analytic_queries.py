@@ -822,3 +822,86 @@ def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("purchase_value"), 6).alias("total_purchase_value"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator parity (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stateful_sessions_parity",
+    """
+    WITH g AS (
+      SELECT user_id, ts, coalesce(value, 0.0) AS value,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    ), agg AS (
+      SELECT user_id, sess_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events,
+             round(sum(value), 6) AS total_value
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM agg
+    QUALIFY sess_id < max(sess_id) OVER (PARTITION BY user_id)
+    ORDER BY user_id, session_start
+    """,
+    doc="CUSTOM STATEFUL streaming operator parity, value-checked "
+    "end-to-end: gap sessionization via applyInPandasWithState "
+    "(streaming/stateful.py — one fixed-width state row per active "
+    "user, evolved batch-by-batch by an Arrow-batched kernel) runs "
+    "over the events stream re-chunked into 4 time-range-ordered "
+    "files delivered one per micro-batch, so sessions that SPAN "
+    "micro-batch boundaries must be carried in the state store and "
+    "closed by a later batch's event. The stream emits exactly the "
+    "CLOSED sessions; the oracle recomputes all sessions in SQL "
+    "(lag-gap + cumulative boundary sum) and drops each user's last "
+    "(still-open) session. A state-carry or emission regression "
+    "breaks this row. Session boundaries are order-independent "
+    "(strict 30-min gap; equal timestamps share a session) and the "
+    "one order-dependent output (the double sum) is rounded on both "
+    "sides, so the check is exact",
+)
+def q_stateful_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as globmod
+    import os
+    import tempfile
+
+    from big_data_processing_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    # Same time-range chunking as streaming_join_parity: ascending
+    # partition ranges + pinned mtimes → deterministic in-order
+    # micro-batches, so the kernel's per-user event-time-order
+    # precondition holds across batches.
+    work = tempfile.mkdtemp(prefix="ssp_chunks_")
+    events = load_table(spark, sf_dir, "events")
+    events.repartitionByRange(4, "ts").write.parquet(f"{work}/chunks")
+    for i, p in enumerate(
+        sorted(globmod.glob(f"{work}/chunks/part-*.parquet"))
+    ):
+        os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    stream = read_event_stream(spark, f"{work}/chunks", glob="part-*.parquet")
+    sessions = sessionize_stream(stream, gap_minutes=30.0)
+    got = run_stream_to_memory(sessions, "ssp", output_mode="append")
+    return got.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    ).orderBy("user_id", "session_start")
