@@ -766,8 +766,7 @@ def q_cdc_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6)))
-                 AS DOUBLE), 2) AS revenue
+           round(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6, 2) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -785,8 +784,7 @@ def q_grouping_sets_flag_status(
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               round(CAST(sum(CAST(round(l_extendedprice, 6)
-                     AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+               round(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6, 2) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -1085,8 +1083,7 @@ def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(*) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(30,6)))
-                AS DOUBLE) AS segment_revenue
+           CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS segment_revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,

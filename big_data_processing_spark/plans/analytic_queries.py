@@ -366,8 +366,7 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT n_name, n_regionkey,
-             round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(30,6)))
-                   AS DOUBLE), 2) AS revenue
+             round(CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6, 2) AS revenue
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey

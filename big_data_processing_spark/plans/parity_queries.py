@@ -443,12 +443,9 @@ def q_two_key_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, qty_category,
                count(*) AS trip_count,
-               CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6)))
-                    AS DOUBLE) / count(*) AS avg_price,
-               CAST(sum(CAST(round(l_discount, 6) AS DECIMAL(30,6)))
-                    AS DOUBLE) / count(*) AS avg_discount,
-               CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(30,6)))
-                    AS DOUBLE) / count(*) AS avg_quantity
+               CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_price,
+               CAST(sum(CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_discount,
+               CAST(sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_quantity
         FROM lineitem_processed
         GROUP BY l_returnflag, qty_category
         ORDER BY l_returnflag, qty_category
