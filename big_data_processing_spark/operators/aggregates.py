@@ -63,16 +63,40 @@ def davg(col: str) -> Column:
 def dsum_decimal(col: str) -> Column:
     """Overflow-proof variant of :func:`dsum` for group sums past
     ~9.2e18 micro-units: decimal accumulator, same exactness
-    contract, ~6x slower (per-row BigDecimal + non-codegen agg)."""
+    contract, ~6x slower (per-row BigDecimal + non-codegen agg).
+
+    Where the long ceiling actually sits: Spark's non-ANSI BIGINT
+    sum WRAPS silently past 2^63 micro-units (~$9.2T per group at
+    6 dp) while DuckDB promotes to HUGEINT — so past the ceiling
+    the engines diverge with no error. For this corpus that is
+    ~sf40 for a whole-table money sum (sf1 lineitem revenue mass
+    ≈ 2.3e17 micro-units, linear in sf). Policy (r6 ADVICE):
+    UNBOUNDED groups — rollup/cube/grouping-sets grand totals,
+    whole-table sums — use this decimal path; keyed groups whose
+    mass is a bounded slice of the scan may use the codegen long
+    path with the ceiling noted."""
     return F.sum(
         F.floor(F.col(col) * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
     ).cast("double") / F.lit(1e6)
+
+
+def davg_decimal(col: str) -> Column:
+    return dsum_decimal(col) / F.count(F.lit(1))
 
 
 DSUM_SQL = (
     "CAST(sum(CAST(floor({c} * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6"
 )
 DAVG_SQL = "(" + DSUM_SQL + ") / count(*)"
+# Overflow-proof spelling, valid in BOTH Spark SQL and DuckDB:
+# DECIMAL(38,0) accumulates ~1e38 micro-units before overflow
+# (DuckDB's BIGINT sum already promotes to HUGEINT; Spark's does
+# not — this makes the Spark side match past the long ceiling).
+DSUM_DECIMAL_SQL = (
+    "CAST(sum(CAST(floor({c} * 1e6 + 0.5) AS DECIMAL(38,0))) "
+    "AS DOUBLE) / 1e6"
+)
+DAVG_DECIMAL_SQL = "(" + DSUM_DECIMAL_SQL + ") / count(*)"
 
 
 def grouped_stats(

@@ -19,6 +19,7 @@ from big_data_processing_spark.functions.semantic import (
     semantic_dedup_drops,
     semantic_dedup_pairs,
 )
+from big_data_processing_spark.operators.aggregates import dsum
 from big_data_processing_spark.operators.graph import pagerank
 from big_data_processing_spark.operators.joins import (
     blocked_fuzzy_join,
@@ -772,7 +773,11 @@ def q_cdc_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Explicit GROUPING SETS (flag-only, status-only, grand total) "
     "— the general form of the rollup/cube family (A10); one shuffle, "
-    "Spark expands sets map-side before the partial aggregate",
+    "Spark expands sets map-side before the partial aggregate. The "
+    "Spark side accumulates in DECIMAL(38,0): its non-ANSI BIGINT "
+    "sum would wrap silently on the grand-total row past ~9.2e18 "
+    "micro-units (~sf40) while DuckDB promotes to HUGEINT "
+    "(overflow policy, operators/aggregates.py)",
 )
 def q_grouping_sets_flag_status(
     spark: SparkSession, sf_dir: str
@@ -784,7 +789,7 @@ def q_grouping_sets_flag_status(
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               round(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6, 2) AS revenue
+               round(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e6, 2) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -1093,20 +1098,63 @@ def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NO shuffle exchange on either side — the pay-shuffle-once "
     "answer to a repeated 100 TB fact-fact join. Plan asserted in "
     "tests/test_plans.py; values checked against the plain parquet "
-    "join (bucketing must not change results). Fixed-point revenue "
-    "sum keeps the value partitioning-independent",
+    "join (bucketing must not change results). Revenue uses dsum "
+    "(the repo-wide long micro-unit fixed point, operators/"
+    "aggregates.py) so the value is partitioning-independent and "
+    "the Spark side matches DSUM_SQL exactly — r6 ADVICE flagged "
+    "the earlier inline round/decimal recipe as engine-dependent "
+    "at half boundaries. The bucketed copies are written ONCE per "
+    "(process, sf_dir) into a deterministic temp path and the "
+    "catalog names carry an sf-derived suffix, so repeated bench "
+    "runs reuse the write and concurrent sessions on different "
+    "sf_dirs never collide (r6 ADVICE: the old per-invocation "
+    "mkdtemp accumulated full orders/customer copies)",
 )
 def q_bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_tbl, c_tbl = _bucketed_segments_tables(spark, sf_dir)
+    o = spark.table(o_tbl).hint("merge")
+    c = spark.table(c_tbl).hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("segment_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BUCKETED_SEGMENTS_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_segments_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Write the 8-bucket orders/customer copies once per
+    (process, sf_dir) and memoize the catalog names. The path is
+    deterministic (tmpdir + sf token) so a re-run of the same
+    process — or a later process on the same box — overwrites in
+    place instead of accumulating copies; the sf token in the table
+    name keeps two sessions on different sf_dirs from colliding on
+    one metastore."""
+    cached = _BUCKETED_SEGMENTS_CACHE.get(sf_dir)
+    if cached is not None and spark.catalog.tableExists(cached[0]):
+        return cached
+
+    import hashlib
     import tempfile
 
     from big_data_processing_spark.sources.files import write_bucketed
 
-    work = tempfile.mkdtemp(prefix="bkt_join_")
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = f"{tempfile.gettempdir()}/bkt_join_{token}"
+    o_tbl, c_tbl = f"bkt_orders_{token}", f"bkt_customer_{token}"
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_custkey", "o_totalprice"
         ),
-        "bkt_orders",
+        o_tbl,
         ["o_custkey"],
         8,
         path=f"{work}/orders",
@@ -1115,23 +1163,10 @@ def q_bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment"
         ),
-        "bkt_customer",
+        c_tbl,
         ["c_custkey"],
         8,
         path=f"{work}/customer",
     )
-    o = spark.table("bkt_orders").hint("merge")
-    c = spark.table("bkt_customer").hint("merge")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(
-                F.round(F.col("o_totalprice"), 6).cast("decimal(30,6)")
-            )
-            .cast("double")
-            .alias("segment_revenue"),
-        )
-        .orderBy("c_mktsegment")
-    )
+    _BUCKETED_SEGMENTS_CACHE[sf_dir] = (o_tbl, c_tbl)
+    return o_tbl, c_tbl

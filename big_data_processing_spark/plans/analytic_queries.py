@@ -212,7 +212,7 @@ def q_cumulative_distinct_users(
     """
     SELECT n_name,
            round(CAST(sum(CAST(floor(
-                   l_extendedprice * (1 - l_discount) * 10000)
+                   l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                  AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem
@@ -231,10 +231,12 @@ def q_cumulative_distinct_users(
     "100 TB where Catalyst's size estimate flips it automatically. "
     "Filter c_nationkey = s_nationkey applied in the join condition "
     "so mismatched rows never reach the agg. Revenue aggregates in "
-    "fixed point (floor(x·1e4) integer sum): a raw double sum's "
-    "order-dependence diverged across engines exactly on a 2 dp "
-    "rounding boundary at sf1 — floor of the identical IEEE product "
-    "is bit-identical and the integer sum is order-free",
+    "fixed point (floor(x·1e4 + 0.5) integer sum, the repo dsum "
+    "recipe at 4 dp): the product has exactly 4 decimal places and "
+    "IEEE error is far below 0.5 ulp of 1e-4, so the +0.5 recovers "
+    "the exact integer — bit-identical across engines AND unbiased "
+    "(plain floor truncated ~0.5e-4/row systematically, drifting "
+    "dollars below the true round(sum,2) at sf1+; r6 ADVICE)",
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -265,7 +267,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * 10000
-                )
+                    + F.lit(0.5)
+                ).cast("long")
             ).cast("double")
             / 10000,
             2,

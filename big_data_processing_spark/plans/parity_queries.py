@@ -100,7 +100,9 @@ from big_data_processing_spark.operators.aggregates import (  # noqa: E402
     DAVG_SQL,
     DSUM_SQL,
     davg as _davg,
+    davg_decimal as _davg_decimal,
     dsum as _dsum,
+    dsum_decimal as _dsum_decimal,
 )
 
 
@@ -498,7 +500,12 @@ def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A10 as a first-class multi-level rollup: per-(flag,status) "
     "subtotals, per-flag subtotals, and the grand total in ONE "
     "aggregation pass via df.rollup + grouping_id (the idiomatic "
-    "upgrade over the reference's driver-side re-agg, main.py:213-219)",
+    "upgrade over the reference's driver-side re-agg, main.py:213-219). "
+    "The grand-total row sums the WHOLE table's money mass, so the "
+    "Spark side uses the decimal fixed-point accumulator "
+    "(dsum_decimal): the codegen long path wraps silently past "
+    "~9.2e18 micro-units (~sf40 here) while DuckDB promotes to "
+    "HUGEINT — r6 ADVICE overflow policy, operators/aggregates.py",
 )
 def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _lineitem(spark, sf_dir)
@@ -507,8 +514,8 @@ def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
-            F.round(_dsum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(_dsum_decimal("l_quantity"), 2).alias("sum_qty"),
+            F.round(_dsum_decimal("l_extendedprice"), 2).alias("sum_price"),
         )
         .select(
             "l_returnflag", "l_linestatus", "gid", "n", "sum_qty", "sum_price"
@@ -529,7 +536,9 @@ def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY gid, l_returnflag, l_linestatus
     """,
     doc="CUBE companion to rollup_flag_status: all 2^k grouping-set "
-    "combinations in one aggregation pass (df.cube + grouping_id)",
+    "combinations in one aggregation pass (df.cube + grouping_id). "
+    "Decimal accumulator on the grand-total path (overflow policy, "
+    "operators/aggregates.py dsum_decimal)",
 )
 def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _lineitem(spark, sf_dir)
@@ -538,7 +547,7 @@ def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(_davg("l_quantity"), 6).alias("avg_qty"),
+            F.round(_davg_decimal("l_quantity"), 6).alias("avg_qty"),
         )
         .select(
             "l_returnflag", "l_linestatus", "gid", "n", "avg_qty"
