@@ -434,6 +434,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def md5_gram_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 5
+) -> DataFrame:
+    """(id, grams) distinct character-shingle sets on the
+    cross-engine string basis used by the md5 audit twins; docs with
+    no shingles drop out (no near-dup semantics). Public so callers
+    can materialize the frame ONCE and feed it to both the
+    signature build and the exact-Jaccard verification joins (see
+    plans/doc_clusters.md5_minhash_frames)."""
+    return (
+        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), normalize_text(F.col(text_col)).alias("nrm"))
+        .select(
+            F.col(id_col),
+            char_ngrams_of_norm(F.col("nrm"), shingle_n).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+    )
+
+
+def md5_minhash_signatures(
+    grams: DataFrame, id_col: str, num_perm: int = 16
+) -> DataFrame:
+    """(id, m0..m{k-1}) md5-basis MinHash signatures from a
+    :func:`md5_gram_sets` frame. Each DISTINCT gram is hashed once
+    (num_perm md5s per vocab entry, not per gram instance —
+    instances ≫ vocab on any real corpus), then the per-gram
+    signature row joins back to the instances; md5 is deterministic
+    per gram, so results are identical to hashing inline, just
+    cheaper."""
+    exploded = grams.select(F.col(id_col), F.explode("grams").alias("g"))
+    vocab_sigs = exploded.select("g").distinct().select(
+        "g",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("g"))).alias(
+                f"h{i}"
+            )
+            for i in range(num_perm)
+        ],
+    )
+    return (
+        exploded.join(vocab_sigs, "g")
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)])
+    )
+
+
 def minhash_near_duplicates_md5(
     df: DataFrame,
     text_col: str,
@@ -442,6 +489,8 @@ def minhash_near_duplicates_md5(
     bands: int = 4,
     shingle_n: int = 5,
     threshold: float = 0.6,
+    grams: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs on a CROSS-ENGINE hash basis:
     permutation i of a gram is md5("i:" || gram), and the signature
@@ -459,37 +508,20 @@ def minhash_near_duplicates_md5(
     grams at verification, so production dedup at 100 TB should run
     the xxhash64 variant; this one exists for audits and parity
     gates. Same scale shape otherwise: band-bucket equi-join on ids,
-    never documents."""
+    never documents.
+
+    ``grams`` / ``sig`` accept pre-built (ideally materialized)
+    frames from :func:`md5_gram_sets` / :func:`md5_minhash_signatures`:
+    without them the lazy gram pipeline re-executes up to 4× (band
+    self-join references sig twice; the two verification joins
+    reference grams twice more) — the r6 bench read 15.7 s at sf0.1
+    for exactly that reason. With localCheckpointed frames
+    (plans/doc_clusters.md5_minhash_frames) each pipeline runs once."""
     rows = num_perm // bands
-    grams = (
-        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
-        .select(F.col(id_col), normalize_text(F.col(text_col)).alias("nrm"))
-        .select(
-            F.col(id_col),
-            char_ngrams_of_norm(F.col("nrm"), shingle_n).alias("grams"),
-        )
-        .filter(F.size("grams") > 0)
-    )
-    exploded = grams.select(F.col(id_col), F.explode("grams").alias("g"))
-    # hash each DISTINCT gram once (num_perm md5s per vocab entry,
-    # not per gram instance — instances ≫ vocab on any real corpus),
-    # then join the per-gram signature row back to the instances;
-    # md5 is deterministic per gram, so results are identical to
-    # hashing inline, just cheaper
-    vocab_sigs = exploded.select("g").distinct().select(
-        "g",
-        *[
-            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("g"))).alias(
-                f"h{i}"
-            )
-            for i in range(num_perm)
-        ],
-    )
-    sig = (
-        exploded.join(vocab_sigs, "g")
-        .groupBy(id_col)
-        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)])
-    )
+    if grams is None:
+        grams = md5_gram_sets(df, text_col, id_col, shingle_n)
+    if sig is None:
+        sig = md5_minhash_signatures(grams, id_col, num_perm)
 
     band_cols = [
         F.struct(

@@ -198,13 +198,16 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(content: bytes):
     """REAL PNG decode with stdlib ``zlib`` + numpy — no codec
-    library. Supports the non-interlaced 8-bit-depth color types
-    (gray / gray+alpha / RGB / RGBA): walks the chunk stream,
-    inflates the concatenated IDAT payload, and reverses the five
-    scanline filters (None/Sub/Up/Average/Paeth) per the spec.
-    Returns (h, w) uint8 for grayscale, (h, w, channels) otherwise.
-    Raises ValueError on malformed streams and NotImplementedError
-    for palette / 16-bit / Adam7-interlaced images."""
+    library. Supports ALL five non-interlaced 8-bit-depth color
+    types (gray / RGB / palette / gray+alpha / RGBA): walks the
+    chunk stream, inflates the concatenated IDAT payload, reverses
+    the five scanline filters (None/Sub/Up/Average/Paeth) per the
+    spec, and maps color-type-3 index planes through the PLTE
+    palette to RGB. Returns (h, w) uint8 for grayscale,
+    (h, w, channels) otherwise. Raises ValueError on malformed
+    streams and NotImplementedError only for 16-bit depth /
+    Adam7-interlaced images (and JPEG/WebP upstream — no codec
+    libs in this container)."""
     import struct
     import zlib
 
@@ -214,6 +217,7 @@ def decode_png(content: bytes):
         raise ValueError("not a PNG stream")
     pos, end = 8, len(content)
     ihdr = None
+    plte: bytes | None = None
     idat: list[bytes] = []
     while pos + 8 <= end:
         length, ctype = struct.unpack_from(">I4s", content, pos)
@@ -227,6 +231,11 @@ def decode_png(content: bytes):
             if length != 13:
                 raise ValueError("IHDR must be 13 bytes")
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise ValueError(f"PLTE length {length} not a valid "
+                                 "non-empty multiple of 3 <= 768")
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -241,11 +250,15 @@ def decode_png(content: bytes):
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    # color type 3 (palette): the filtered stream is one index byte
+    # per pixel; indices map through PLTE to RGB after unfiltering
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise NotImplementedError(
-            f"palette PNG (color type {color_type}) not supported"
+            f"PNG color type {color_type} not supported"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
     if len(raw) != h * (stride + 1):
@@ -288,6 +301,15 @@ def decode_png(content: bytes):
             raise ValueError(f"unknown scanline filter {ftype}")
         out[y] = (rec & 0xFF).astype(np.uint8)
     img = out.reshape(h, w, channels)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"({len(pal)} entries)"
+            )
+        return pal[idx]
     return img[:, :, 0] if channels == 1 else img
 
 
@@ -296,17 +318,27 @@ def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
     (x, y, c) = (seed + 3x + 7y + 11c) mod 256 — the same raster
     arithmetic as :func:`make_ppm`, so a SQL oracle regenerates it.
     Row y is encoded with scanline filter y mod 5, so a 5+-row image
-    exercises every unfilter path in :func:`decode_png`."""
+    exercises every unfilter path in :func:`decode_png`.
+
+    ``color_type=3`` emits a palette PNG: the index plane is
+    idx(x, y) = (seed + 3x + 7y) mod 256 (filtered the same way)
+    and PLTE entry i is ((seed + 3i) mod 256, (seed + 7i) mod 256,
+    (seed + 11i) mod 256), so the decoded RGB raster is
+    pixel(x, y, c) = (seed + p_c * idx) mod 256 with p = (3, 7, 11)
+    — still closed-form for a SQL oracle."""
     import struct
     import zlib
 
     import numpy as np
 
-    channels = {0: 1, 2: 3}[color_type]
+    channels = {0: 1, 2: 3, 3: 1}[color_type]
     xs = np.arange(w).reshape(1, w, 1)
     ys = np.arange(h).reshape(h, 1, 1)
-    cs = np.arange(channels).reshape(1, 1, channels)
-    px = ((seed + 3 * xs + 7 * ys + 11 * cs) % 256).astype(np.int32)
+    if color_type == 3:
+        px = ((seed + 3 * xs + 7 * ys) % 256).astype(np.int32)
+    else:
+        cs = np.arange(channels).reshape(1, 1, channels)
+        px = ((seed + 3 * xs + 7 * ys + 11 * cs) % 256).astype(np.int32)
     stride = w * channels
     flat = px.reshape(h, stride)
     lines = bytearray()
@@ -345,12 +377,42 @@ def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + chunk(b"IEND", b"")
+    parts = [_PNG_SIG, chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        i = np.arange(256).reshape(256, 1)
+        p = np.array([3, 7, 11]).reshape(1, 3)
+        pal = ((seed + p * i) % 256).astype(np.uint8)
+        parts.append(chunk(b"PLTE", pal.tobytes()))
+    parts.append(chunk(b"IDAT", zlib.compress(bytes(lines))))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def make_bmp(w: int, h: int, seed: int) -> bytes:
+    """Deterministic synthetic 24-bit bottom-up BI_RGB BMP
+    (fixture/demo generator): RGB pixel (x, y, c) =
+    (seed + 3x + 7y + 11c) mod 256 — the same raster arithmetic as
+    :func:`make_ppm`, stored BGR with the spec's 4-byte row stride
+    so :func:`decode_bmp`'s padding/flip/channel-swap paths are all
+    exercised."""
+    import struct
+
+    import numpy as np
+
+    y, x, c = np.mgrid[0:h, 0:w, 0:3]
+    rgb = ((seed + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+    bgr = rgb[:, :, ::-1]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = rows[::-1].tobytes()  # bottom-up storage
+    data_offset = 14 + 40
+    file_size = data_offset + len(data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
+    return header + dib + data
 
 
 def decode_image_real(content: bytes):
@@ -426,6 +488,58 @@ def extract_image_features_real(df: DataFrame, dim: int = 8) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         kernel, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+MEDIA_STATS_SCHEMA = (
+    "media_id long, n_bytes int, width int, height int, "
+    "mean_pixel double, decode_ok boolean"
+)
+
+
+def decode_media_stats(df: DataFrame) -> DataFrame:
+    """Real-decode stats over an opaque binary media column:
+    (media_id, n_bytes, width, height, mean_pixel, decode_ok) via
+    :func:`decode_image_real`, Arrow-batched, format-dispatched per
+    row (netpbm / BMP / PNG by magic bytes). Rows whose format needs
+    an absent codec — or whose payload is malformed — yield
+    ``decode_ok = False`` with zero dims instead of failing the
+    batch: per-row codec failures must never kill a 100 TB job.
+    ``mean_pixel`` is an exact integer sum / pixel count, so a SQL
+    oracle that regenerates the raster arithmetically matches
+    bit-for-bit."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b):
+            if b is None:
+                return 0, 0, 0, 0.0, False
+            try:
+                img = decode_image_real(bytes(b))
+            except (NotImplementedError, ValueError):
+                return len(b), 0, 0, 0.0, False
+            except Exception:  # malformed payload
+                return len(b), 0, 0, 0.0, False
+            h, w = img.shape[:2]
+            mean = float(np.asarray(img, dtype=np.int64).sum()) / img.size
+            return len(b), w, h, mean, True
+
+        for pdf in batches:
+            stats = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": stats.map(lambda t: t[0]).astype("int32"),
+                    "width": stats.map(lambda t: t[1]).astype("int32"),
+                    "height": stats.map(lambda t: t[2]).astype("int32"),
+                    "mean_pixel": stats.map(lambda t: t[3]),
+                    "decode_ok": stats.map(lambda t: t[4]),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=MEDIA_STATS_SCHEMA
     )
 
 

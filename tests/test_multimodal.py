@@ -266,3 +266,73 @@ def test_png_rejects_malformed():
         decode_png(bytes(lace))
     # decode_image_real routes PNG by signature
     assert decode_image_real(png).shape == (4, 4, 3)
+
+
+def test_png_palette_roundtrip():
+    import numpy as np
+    import pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_png,
+        make_png,
+    )
+
+    img = decode_png(make_png(7, 5, seed=41, color_type=3))
+    assert img.shape == (5, 7, 3)
+    ys, xs = np.mgrid[0:5, 0:7]
+    idx = (41 + 3 * xs + 7 * ys) % 256
+    want = np.stack(
+        [(41 + p * idx) % 256 for p in (3, 7, 11)], axis=-1
+    ).astype(np.uint8)
+    assert (img == want).all()
+    # palette PNG with the PLTE chunk stripped → ValueError
+    png = make_png(4, 4, seed=1, color_type=3)
+    plte_at = png.find(b"PLTE") - 4
+    plte_len = 12 + int.from_bytes(png[plte_at : plte_at + 4], "big")
+    with pytest.raises(ValueError):
+        decode_png(png[:plte_at] + png[plte_at + plte_len :])
+
+
+def test_make_bmp_roundtrip():
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_bmp,
+        make_bmp,
+    )
+
+    # w=6 → stride 20 with 2 pad bytes: padding + bottom-up flip +
+    # BGR swap all exercised
+    img = decode_bmp(make_bmp(6, 7, seed=9))
+    assert img.shape == (7, 6, 3)
+    ys, xs, cs = np.mgrid[0:7, 0:6, 0:3]
+    want = ((9 + 3 * xs + 7 * ys + 11 * cs) % 256).astype(np.uint8)
+    assert (img == want).all()
+
+
+def test_decode_media_stats_mixed_formats(spark):
+    from big_data_processing_spark.functions.multimodal import (
+        decode_media_stats,
+        make_bmp,
+        make_png,
+        make_ppm,
+    )
+
+    rows = [
+        (0, make_ppm(8, 6, seed=0)),
+        (1, make_png(9, 5, seed=1)),
+        (2, make_png(7, 5, seed=2, color_type=3)),
+        (3, make_bmp(6, 7, seed=3)),
+        (4, b"\xff\xd8\xff\xe0" + bytes(12)),  # undecodable JPEG
+        (5, None),  # missing payload
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in decode_media_stats(df).collect()}
+    assert (got[0].width, got[0].height, got[0].decode_ok) == (8, 6, True)
+    assert (got[1].width, got[1].height) == (9, 5)
+    assert (got[2].width, got[2].height) == (7, 5)
+    assert (got[3].width, got[3].height) == (6, 7)
+    # per-row failure tolerance: bad rows flag, never raise
+    assert not got[4].decode_ok and got[4].n_bytes == 16
+    assert not got[5].decode_ok and got[5].n_bytes == 0
+    assert all(got[i].decode_ok for i in range(4))
