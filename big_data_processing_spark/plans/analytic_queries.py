@@ -826,6 +826,99 @@ def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "streaming_late_drop_parity",
+    """
+    WITH m AS (SELECT max(ts) AS tmax FROM events),
+    live AS (
+      SELECT e.* FROM events e, m
+      WHERE e.ts >= m.tmax - INTERVAL 24 HOUR
+    )
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM live
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+           <= (SELECT tmax FROM m) - INTERVAL 2 HOUR
+    ORDER BY 1, 2
+    """,
+    doc="WATERMARK-DROP parity, value-checked end-to-end — the "
+    "riskiest streaming behavior at scale made driver-visible "
+    "(r6 verdict Missing #3). The corpus's last 24 hours stream "
+    "in first, advancing the watermark to tmax - 2h; the REST of "
+    "the month then arrives as deliberately late data, every row "
+    "20+ hours below the watermark (far from the boundary, so "
+    "strict-vs-non-strict drop semantics cannot blur the check). "
+    "The watermarked hourly aggregation must DROP the whole late "
+    "batch — the stateful-aggregation late filter is where Spark "
+    "defines drop semantics (measured here: the stream-stream "
+    "interval JOIN does NOT input-filter late rows; its watermark "
+    "only drives state eviction, and a late batch happily joined "
+    "against itself — so the agg, not the join, is the honest "
+    "drop gate). Measured subtlety this query is built around: "
+    "Spark 4's two-phase watermark filters late events against "
+    "the PREVIOUS micro-batch's watermark, so a late batch "
+    "delivered immediately after the batch that advanced the "
+    "watermark slips through untouched; the live slice is "
+    "therefore delivered as TWO in-order batches (up to tmax-2h, "
+    "then the tail) before the late bulk, putting the lagged "
+    "filter watermark at ~tmax-4h when the late rows arrive. The "
+    "oracle aggregates the live slice only, keeping windows "
+    "closed by the final watermark (same finalization rule "
+    "streaming_batch_parity pins). The late bulk holds ~96% of "
+    "the corpus: an engine that failed to drop late input would "
+    "emit thousands of extra finalized windows and break this "
+    "hash. The one driver-side collect is a single scalar (max "
+    "event ts) used to place the splits",
+)
+def q_streaming_late_drop_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_processing_spark.streaming.windowed import (
+        hourly_event_counts,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    tmax = events.agg(F.max("ts")).collect()[0][0]
+    live_cut = tmax - datetime.timedelta(hours=24)
+    wm_cut = tmax - datetime.timedelta(hours=2)
+    work = tempfile.mkdtemp(prefix="sldp_chunks_")
+    # chunks 0+1: the live (recent) slice in two in-order batches —
+    # the second exists so the LAGGED late filter (previous batch's
+    # watermark) is already ~tmax-4h when the late bulk arrives;
+    # chunk 2: everything OLDER, delivered last, 20+ h below it
+    ts = F.col("ts")
+    events.filter((ts >= F.lit(live_cut)) & (ts < F.lit(wm_cut))) \
+        .coalesce(1).write.parquet(f"{work}/a")
+    events.filter(ts >= F.lit(wm_cut)).coalesce(1) \
+        .write.parquet(f"{work}/b")
+    events.filter(ts < F.lit(live_cut)).coalesce(1) \
+        .write.parquet(f"{work}/c")
+    os.makedirs(f"{work}/chunks")
+    for i, sub in enumerate(("a", "b", "c")):
+        (part,) = globmod.glob(f"{work}/{sub}/part-*.parquet")
+        dst = f"{work}/chunks/chunk-{i}.parquet"
+        shutil.copy(part, dst)
+        # FileStreamSource batches by mtime: pin ascending so the
+        # live slice is batch 1 and the late slice batch 2
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    stream = read_event_stream(
+        spark, f"{work}/chunks", glob="chunk-*.parquet"
+    )
+    agg = hourly_event_counts(stream, watermark="2 hours")
+    got = run_stream_to_memory(agg, "sldp", output_mode="append")
+    return got.orderBy("hour", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator parity (applyInPandasWithState)
 # ---------------------------------------------------------------------------

@@ -1015,8 +1015,9 @@ def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cosine_topk_ivf",
-    None,  # approximate (probe-restricted) → rows-only check; full-probe
-    # == exact is unit-tested (tests/test_similarity.py)
+    None,  # approximate (probe-restricted) → rows-only check; the
+    # full-probe twin below is hash-checked and the recall floor is
+    # unit-asserted (tests/test_similarity.py)
     doc="IVF approximate cosine top-k: sample-trained k-means coarse "
     "quantizer, Arrow-batched distributed assignment, n-probe "
     "candidate lists via centroid equi-join",
@@ -1029,6 +1030,36 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_cosine_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "cosine_topk_ivf_fullprobe",
+    _ANN_ORACLE,
+    doc="IVF with probe = ALL cells, value-checked against the exact "
+    "brute-force oracle: every corpus vector sits in exactly one "
+    "inverted list and every query probes every list, so the "
+    "centroid equi-join reconstructs the full (query, corpus) "
+    "product exactly once — the result provably equals exact "
+    "search REGARDLESS of what the trained centroids are. A green "
+    "hash row here certifies the IVF machinery (sample-trained "
+    "quantizer, Arrow-batched GEMM assignment, probe join, "
+    "rounded-then-ranked top-k) end-to-end; the probe-restricted "
+    "fast path (cosine_topk_ivf) shares all of it and stays "
+    "rows-only + recall-audited because approximation is "
+    "centroid-dependent by design",
+)
+def q_cosine_topk_ivf_fullprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=16
+    ).orderBy("query_id", "rank")
 
 
 @register(
