@@ -25,6 +25,7 @@ from big_data_processing_spark.operators.joins import (
     blocked_fuzzy_join,
     dim_join,
     fact_join,
+    salted_join,
 )
 from big_data_processing_spark.operators.windows import collapse_runs
 from big_data_processing_spark.plans.registry import register
@@ -1075,6 +1076,100 @@ def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skewed-key stress: salted join + hot-key aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skewed_join_stats",
+    """
+    WITH s AS (
+      SELECT CASE WHEN user_id % 5 = 0 THEN 1 ELSE user_id END AS k,
+             value
+      FROM events
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s JOIN customer ON k = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="SKEWED-KEY join stress, value-checked: a deterministic "
+    "remap plants a ~20%-mass hot key (every 5th user collapses to "
+    "key 1 — the planted power-law head a real clickstream has), "
+    "then the fact side joins customer through operators/joins.py "
+    "salted_join: each left key spreads over 8 salt shards and the "
+    "right side replicates per shard, so the hot key's post-shuffle "
+    "partition carries ~1/8 of its mass instead of all of it — the "
+    "no-AQE-needed skew remedy for the 100 TB case where one key "
+    "would otherwise pin a straggler task. Salting cannot change "
+    "the result (salt is join-local), so the oracle is the plain "
+    "remapped join; tests/test_skew.py additionally plan-asserts "
+    "AQE's runtime skew-split on the unsalted plan and bounds the "
+    "salted partition mass",
+)
+def q_skewed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = salted_join(events, cust, "k", salt=8, how="inner")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "skewed_hot_key_agg",
+    """
+    WITH s AS (
+      SELECT CASE WHEN user_id % 5 = 0 THEN 1 ELSE user_id END AS k,
+             value
+      FROM events
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY k ORDER BY k
+    """,
+    doc="SKEWED-KEY aggregation over the same planted ~20%-mass hot "
+    "key: group-by skew is benign in Spark BY CONSTRUCTION because "
+    "the hash aggregate is two-phase — the map-side partial "
+    "aggregate collapses the hot key to ONE row per input "
+    "partition before the shuffle, so the reducer receives "
+    "n_partitions rows for the hot key, not 20% of the corpus "
+    "(plan-asserted partial_count/partial_sum in "
+    "tests/test_skew.py). The join, not the agg, is where skew "
+    "actually hurts — this pair documents that asymmetry as "
+    "running code",
+)
+def q_skewed_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    return (
+        events.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("k")
     )
 
 
