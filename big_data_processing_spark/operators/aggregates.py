@@ -99,6 +99,36 @@ DSUM_DECIMAL_SQL = (
 DAVG_DECIMAL_SQL = "(" + DSUM_DECIMAL_SQL + ") / count(*)"
 
 
+# Display rounding of a fixed-point sum, computed IN INTEGER SPACE.
+# Why round(dsum(x), dp) is not enough: when x carries MORE decimal
+# places than dp (e.g. price·(1-discount) has 4, displayed at 2),
+# the exact sum lands on a decimal tie (...xx50) about once per 100
+# groups, and the engines' round() disagree there — Spark rounds the
+# shortest decimal repr HALF_UP while DuckDB rounds the binary
+# double to nearest, so an exact tie goes up on one engine and down
+# on the other (first seen: local_supplier_volume at sf1, one
+# nation's revenue ending in .4350). Half-up rounding the LONG
+# micro-unit sum — add half a step, strip the remainder — keeps
+# every step exact and both engines then cast the identical integer
+# to double identically. Positive-sum contract (integer % semantics
+# diverge below zero across engines); same ~9.2e18 micro-unit long
+# ceiling as dsum.
+def dsum_round(col: str, dp: int = 2) -> Column:
+    div = 10 ** (6 - dp)
+    s = F.sum(
+        F.floor(F.col(col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ) + F.lit(div // 2)
+    return (s - s % F.lit(div)).cast("double") / F.lit(1e6)
+
+
+def dsum_round_sql(c: str, dp: int = 2) -> str:
+    """Oracle spelling of :func:`dsum_round`, valid in Spark SQL and
+    DuckDB (DuckDB's HUGEINT sum takes the same +/%/- path)."""
+    div = 10 ** (6 - dp)
+    s = f"(sum(CAST(floor({c} * 1e6 + 0.5) AS BIGINT)) + {div // 2})"
+    return f"CAST({s} - {s} % {div} AS DOUBLE) / 1e6"
+
+
 def grouped_stats(
     df: DataFrame,
     keys: list[str],

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_processing_spark.functions.sketches import heavy_hitters
-from big_data_processing_spark.operators.aggregates import dsum
+from big_data_processing_spark.operators.aggregates import (
+    dsum,
+    dsum_round,
+    dsum_round_sql,
+)
 from big_data_processing_spark.operators.windows import rolling_median
 from big_data_processing_spark.plans.registry import register
 from big_data_processing_spark.sources.catalog import load_table
@@ -209,11 +213,10 @@ def q_cumulative_distinct_users(
 
 @register(
     "local_supplier_volume",
-    """
+    f"""
     SELECT n_name,
-           round(CAST(sum(CAST(floor(
-                   l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                 AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
+           {dsum_round_sql("l_extendedprice * (1 - l_discount)", 2)}
+             AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -231,12 +234,12 @@ def q_cumulative_distinct_users(
     "100 TB where Catalyst's size estimate flips it automatically. "
     "Filter c_nationkey = s_nationkey applied in the join condition "
     "so mismatched rows never reach the agg. Revenue aggregates in "
-    "fixed point (floor(x·1e4 + 0.5) integer sum, the repo dsum "
-    "recipe at 4 dp): the product has exactly 4 decimal places and "
-    "IEEE error is far below 0.5 ulp of 1e-4, so the +0.5 recovers "
-    "the exact integer — bit-identical across engines AND unbiased "
-    "(plain floor truncated ~0.5e-4/row systematically, drifting "
-    "dollars below the true round(sum,2) at sf1+; r6 ADVICE)",
+    "fixed point (floor(x·1e6 + 0.5) long sum — exact and unbiased, "
+    "r6 ADVICE) and the 2-dp display rounding happens IN INTEGER "
+    "SPACE (dsum_round): the 4-decimal product makes the sum land "
+    "on an exact ...xx50 tie about once per 100 groups, where "
+    "Spark's decimal HALF_UP and DuckDB's binary-nearest round() "
+    "disagree — one nation's revenue did exactly that at sf1",
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -260,20 +263,15 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     )
-    return joined.groupBy("n_name").agg(
-        F.round(
-            F.sum(
-                F.floor(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * 10000
-                    + F.lit(0.5)
-                ).cast("long")
-            ).cast("double")
-            / 10000,
-            2,
-        ).alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
+    return (
+        joined.withColumn(
+            "rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum_round("rev", 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
 
 

@@ -84,3 +84,40 @@ def test_fraction_sample_deterministic_for_seed(spark):
     b = fraction_sample(df, 0.1, seed=42).count()
     assert a == b
     assert 500 < a < 1500
+
+
+def test_dsum_round_exact_tie_matches_duckdb(spark):
+    """The 2-dp display rounding of a fixed-point sum must agree
+    with DuckDB AT AN EXACT DECIMAL TIE. round(dsum(x), 2) does not:
+    for a sum ending in ...xx50 Spark's HALF_UP goes up while
+    DuckDB rounds the binary double to nearest (down for e.g.
+    549463674.435 — the sf1 local_supplier_volume failure). The
+    integer-space recipe adds half a step and strips the remainder,
+    so both engines round the identical long identically."""
+    import duckdb
+
+    from big_data_processing_spark.operators.aggregates import (
+        dsum_round,
+        dsum_round_sql,
+    )
+
+    # four 4-dp values summing to 7.1050 — an exact 2-dp tie — plus
+    # a non-tie group as control
+    rows = [("a", 1.0125), ("a", 2.0300), ("a", 3.0500), ("a", 1.0125),
+            ("b", 1.2345)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(dsum_round("x", 2).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        k: s
+        for k, s in con.execute(
+            f"SELECT k, {dsum_round_sql('x', 2)} AS s FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert got == want
+    assert got["a"] == 7.11  # half-up at the tie, on BOTH engines
+    assert got["b"] == 1.23
