@@ -50,6 +50,38 @@ def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(subset)
 
 
+def novelty_filter(
+    delta: DataFrame,
+    baseline: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only ``delta`` documents whose
+    md5-of-normalized-text fingerprint does NOT already exist in
+    ``baseline`` — the at-scale alternative to re-deduplicating the
+    whole corpus when a new batch arrives.
+
+    Spark-first shape: a ``left_anti`` join on the 16-byte
+    fingerprint. Neither side ships document text — delta projects
+    (id, fingerprint) and baseline just its fingerprint column — so
+    at 100 TB the shuffle moves ~48 bytes/doc. Catalyst broadcasts
+    the baseline store when its fingerprint projection fits the
+    threshold (a 1B-doc store is ~32 GB — a keyed shuffle, which
+    anti-join handles with the same plan); either way the delta
+    batch, typically orders of magnitude smaller than the corpus,
+    is the streamed side.
+    """
+    fp = md5_fingerprint(F.col(text_col)).alias("fingerprint")
+    base_fp = baseline.select(
+        md5_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    return (
+        delta.select(F.col(id_col), fp)
+        .join(base_fp, "fingerprint", "left_anti")
+        .select(id_col, "fingerprint")
+    )
+
+
 def dedup_by_fingerprint(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

@@ -20,6 +20,7 @@ from big_data_processing_spark.functions.dedup import (
     dedup_by_fingerprint,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    novelty_filter,
     simhash_near_duplicates,
 )
 from big_data_processing_spark.functions.similarity import (
@@ -365,6 +366,42 @@ def q_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup_by_fingerprint(docs, "text", "doc_id")
+
+
+@register(
+    "incremental_novelty_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents
+    )
+    SELECT d.doc_id, d.fingerprint
+    FROM fp d
+    WHERE d.doc_id % 10 >= 8
+      AND NOT EXISTS (
+        SELECT 1 FROM fp b
+        WHERE b.doc_id % 10 < 8 AND b.fingerprint = d.fingerprint
+      )
+    ORDER BY d.doc_id
+    """,
+    doc="Incremental-ingest dedup (functions/dedup.py novelty_filter): "
+    "a delta batch (doc_id % 10 >= 8 here; in production, today's "
+    "crawl) is anti-joined on md5-of-normalized-text fingerprints "
+    "against the already-ingested baseline corpus — at 100 TB you "
+    "dedup the ARRIVING batch against a fingerprint store instead "
+    "of re-deduplicating the whole corpus. Neither side shuffles "
+    "text: ~48 bytes per document move, and the left_anti join "
+    "needs no special casing for dup-heavy batches (the anti "
+    "semantics drop every copy of a known fingerprint)",
+)
+def q_incremental_novelty_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 >= 8)
+    baseline = docs.filter(F.col("doc_id") % 10 < 8)
+    return novelty_filter(delta, baseline, "text", "doc_id").orderBy(
+        "doc_id"
+    )
 
 
 @register(

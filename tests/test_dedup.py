@@ -269,3 +269,22 @@ def test_winnow_share_pairs_substring_evidence(spark):
     # and every surviving pair was already present uncapped with at
     # least as much evidence (the cut only ever REMOVES evidence)
     assert all(uncapped[p] >= n for p, n in capped.items())
+
+
+def test_novelty_filter_drops_known_fingerprints(spark):
+    from big_data_processing_spark.functions.dedup import novelty_filter
+
+    baseline = spark.createDataFrame(
+        [(1, "hello world"), (2, "old  news")], "id long, text string"
+    )
+    # 11 duplicates baseline doc 1 (modulo normalization), 12 is novel,
+    # 13 duplicates ANOTHER delta doc but no baseline doc — novelty is
+    # vs the baseline only, so both 13 and 14 survive
+    delta = spark.createDataFrame(
+        [(11, "  Hello   WORLD "), (12, "fresh content"),
+         (13, "same delta"), (14, "same  DELTA")],
+        "id long, text string",
+    )
+    out = novelty_filter(delta, baseline, "text", "id")
+    assert sorted(r.id for r in out.collect()) == [12, 13, 14]
+    assert out.columns == ["id", "fingerprint"]
