@@ -302,3 +302,18 @@ def test_bucketed_join_segments_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning(o_custkey" not in plan
     assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_novelty_dedup_anti_join_ships_fingerprints_not_text(spark):
+    """The incremental dedup must anti-join on 16-byte fingerprints
+    with the text column pruned before any exchange — at 100 TB the
+    join moves ~48 bytes/doc, never document bodies."""
+    plan = _plan(SPECS["incremental_novelty_dedup"].fn(spark, SF0001))
+    assert "LeftAnti" in plan, plan
+    # the baseline side is reduced to a distinct fingerprint set
+    # (partial HashAggregate before its exchange)
+    assert "HashAggregate" in plan, plan
+    # no exchange carries the raw text column: every Exchange node's
+    # Input list mentions fingerprint/doc_id only
+    for m in re.finditer(r"\(\d+\) (?:Broadcast)?Exchange\n(Input.*)", plan):
+        assert "text#" not in m.group(1), m.group(0)
