@@ -729,7 +729,9 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(streaming/cdc.py); state is |keys| rows, never |events|",
 )
 def q_cdc_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from big_data_processing_spark.sources.maintenance import (
+        scratch_dir,
+    )
 
     from big_data_processing_spark.streaming.cdc import (
         cdc_upsert_stream,
@@ -739,7 +741,7 @@ def q_cdc_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream,
     )
 
-    work = tempfile.mkdtemp(prefix="cdc_upsert_")
+    work = scratch_dir("cdc_upsert", sf_dir)
     stream = read_event_stream(spark, sf_dir)
     cdc_upsert_stream(
         stream,
@@ -891,7 +893,9 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incremental_rollup_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
+    from big_data_processing_spark.sources.maintenance import (
+        scratch_dir,
+    )
 
     from big_data_processing_spark.streaming.cdc import (
         incremental_agg_stream,
@@ -901,7 +905,7 @@ def q_incremental_rollup_parity(
         read_event_stream,
     )
 
-    work = tempfile.mkdtemp(prefix="incr_rollup_")
+    work = scratch_dir("incr_rollup", sf_dir)
     # re-chunk so the file stream delivers MULTIPLE micro-batches —
     # the parity then actually tests the cross-batch monoid merge
     events = load_table(spark, sf_dir, "events")

@@ -780,7 +780,9 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join-condition regression breaks this row",
 )
 def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from big_data_processing_spark.sources.maintenance import (
+        scratch_dir,
+    )
 
     from big_data_processing_spark.streaming.joins import (
         purchase_click_attribution_stream,
@@ -793,7 +795,7 @@ def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Time-range chunking (ascending partition ranges → lexicographic
     # file order → in-arrival-order micro-batches): late data never
     # crosses the watermark, so the multi-batch run is exact.
-    work = tempfile.mkdtemp(prefix="sjp_chunks_")
+    work = scratch_dir("sjp_chunks", sf_dir)
     events = load_table(spark, sf_dir, "events")
     events.repartitionByRange(4, "ts").write.parquet(f"{work}/chunks")
     # FileStreamSource batches new files by modification time; the
@@ -877,7 +879,9 @@ def q_streaming_late_drop_parity(
     import glob as globmod
     import os
     import shutil
-    import tempfile
+    from big_data_processing_spark.sources.maintenance import (
+        scratch_dir,
+    )
 
     from big_data_processing_spark.streaming.windowed import (
         hourly_event_counts,
@@ -889,7 +893,7 @@ def q_streaming_late_drop_parity(
     tmax = events.agg(F.max("ts")).collect()[0][0]
     live_cut = tmax - datetime.timedelta(hours=24)
     wm_cut = tmax - datetime.timedelta(hours=2)
-    work = tempfile.mkdtemp(prefix="sldp_chunks_")
+    work = scratch_dir("sldp_chunks", sf_dir)
     # chunks 0+1: the live (recent) slice in two in-order batches —
     # the second exists so the LAGGED late filter (previous batch's
     # watermark) is already ~tmax-4h when the late bulk arrives;
@@ -967,7 +971,9 @@ def q_streaming_late_drop_parity(
 def q_stateful_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as globmod
     import os
-    import tempfile
+    from big_data_processing_spark.sources.maintenance import (
+        scratch_dir,
+    )
 
     from big_data_processing_spark.streaming.stateful import (
         sessionize_stream,
@@ -981,7 +987,7 @@ def q_stateful_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition ranges + pinned mtimes → deterministic in-order
     # micro-batches, so the kernel's per-user event-time-order
     # precondition holds across batches.
-    work = tempfile.mkdtemp(prefix="ssp_chunks_")
+    work = scratch_dir("ssp_chunks", sf_dir)
     events = load_table(spark, sf_dir, "events")
     events.repartitionByRange(4, "ts").write.parquet(f"{work}/chunks")
     for i, p in enumerate(

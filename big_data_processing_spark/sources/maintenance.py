@@ -81,3 +81,26 @@ def append_new_by_key(
     if n:
         fresh.write.mode("append").parquet(sink_path)
     return n
+
+
+def scratch_dir(prefix: str, key: str) -> str:
+    """Deterministic per-(prefix, key) scratch path, WIPED on every
+    call. The parity queries and bucketed-join write sizeable
+    intermediate copies (re-chunked events, streaming state); a
+    fresh ``mkdtemp`` per invocation accumulated them across bench /
+    driver runs (r6 ADVICE). A deterministic path keyed on the
+    corpus dir overwrites in place instead — and wiping at START
+    (not at return) keeps the produced frames readable by the
+    caller while also clearing stale streaming checkpoints that
+    would otherwise make a restarted file stream skip its input."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    token = hashlib.md5(key.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/{prefix}_{token}"
+    shutil.rmtree(path, ignore_errors=True)
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -278,3 +278,30 @@ def test_compact_parquet_ceiling_formula():
     assert _n_target_files(256 * mb, 128) == 2
     assert _n_target_files(5 * 128 * mb + 7, 128) == 6
     assert _n_target_files(0, 128) == 1
+
+
+def test_scratch_dir_deterministic_and_wiped():
+    """scratch_dir contract (r6 ADVICE: mkdtemp accumulation): the
+    path is a pure function of (prefix, key) — re-invocation reuses
+    the SAME path instead of growing /tmp — and each call starts
+    from an EMPTY dir, so stale streaming checkpoints from a prior
+    run can never make a restarted file stream skip its input."""
+    import os
+
+    from big_data_processing_spark.sources.maintenance import (
+        scratch_dir,
+    )
+
+    a = scratch_dir("sgtest", "/some/sf_dir")
+    with open(os.path.join(a, "stale_checkpoint"), "w") as fh:
+        fh.write("x")
+    b = scratch_dir("sgtest", "/some/sf_dir")
+    assert b == a  # deterministic: overwrite in place, no growth
+    assert os.listdir(b) == []  # wiped at start of every call
+    # distinct keys (two sessions on different corpora) never share
+    c = scratch_dir("sgtest", "/other/sf_dir")
+    assert c != a
+    import shutil
+
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(c, ignore_errors=True)
