@@ -161,7 +161,7 @@ def md5_minhash_frames(
     """Memoized (grams, sig) frames for the md5 MinHash audit twin.
 
     Without materialization the audit query's lazy DAG re-executes
-    the gram pipeline up to 4× and the vocab-md5 signature build 2×
+    the gram pipeline up to 4× and the md5 signature build 2×
     (band self-join + two verification joins) — r6 bench: 15.7 s at
     sf0.1, ~160 s at sf1, vs 3 s for the xxhash64 fast path that
     shares the same LSH structure. Building each frame once per
