@@ -288,3 +288,51 @@ def test_novelty_filter_drops_known_fingerprints(spark):
     out = novelty_filter(delta, baseline, "text", "id")
     assert sorted(r.id for r in out.collect()) == [12, 13, 14]
     assert out.columns == ["id", "fingerprint"]
+
+
+def test_md5_signatures_per_row_matches_vocab_groupby(spark):
+    """Pin the zero-shuffle per-row md5 signature build bit-identical
+    to the reference explode -> distinct -> per-vocab md5 -> join ->
+    groupBy-min formulation it replaced (md5 is deterministic per
+    (perm, gram); min-over-array == min-over-group on a gram set)."""
+    from big_data_processing_spark.functions.dedup import (
+        md5_gram_sets,
+        md5_minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all"),
+            (4, "tiny"),  # shorter than shingle_n -> dropped
+            (5, ""),      # empty -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    grams = md5_gram_sets(df, "text", "doc_id", shingle_n=5)
+    fast = {
+        r.doc_id: tuple(r[f"m{i}"] for i in range(8))
+        for r in md5_minhash_signatures(grams, "doc_id", num_perm=8)
+        .collect()
+    }
+    exploded = grams.select("doc_id", F.explode("grams").alias("g"))
+    vocab = exploded.select("g").distinct().select(
+        "g",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("g"))).alias(
+                f"h{i}"
+            )
+            for i in range(8)
+        ],
+    )
+    ref = {
+        r.doc_id: tuple(r[f"m{i}"] for i in range(8))
+        for r in exploded.join(vocab, "g")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(8)])
+        .collect()
+    }
+    assert fast == ref
+    # the length(nrm) >= n pre-filter drops exactly the no-shingle docs
+    assert set(fast) == {1, 2, 3}
