@@ -5,7 +5,7 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs
 The Spark-side architecture here is real and tested — schemas,
 partitioning, UDF signatures, batch shapes. For image decode there
 are two kernels: ``decode_image_real`` REALLY decodes binary netpbm
-(P5/P6), BI_RGB BMP, and non-interlaced 8-bit PNG (stdlib ``zlib``
+(P5/P6), BI_RGB BMP, and non-interlaced 8/16-bit PNG (stdlib ``zlib``
 inflate + numpy scanline unfilter — no codec library), raising
 ``NotImplementedError`` only for formats whose codecs this
 container lacks (JPEG/WebP); ``decode_image_stub`` remains the
@@ -121,7 +121,7 @@ def sample_video_frames(
 # JPEG/WebP need codec libraries this container lacks, but the
 # classics decode without one — netpbm/BMP with numpy alone and PNG
 # with stdlib zlib + a numpy scanline unfilter — so the "real"
-# decode hook IS real for PPM/PGM, BI_RGB BMP and 8-bit PNG, and
+# decode hook IS real for PPM/PGM, BI_RGB BMP and 8/16-bit PNG, and
 # only falls back to NotImplementedError for JPEG/WebP.
 
 
@@ -198,16 +198,19 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(content: bytes):
     """REAL PNG decode with stdlib ``zlib`` + numpy — no codec
-    library. Supports ALL five non-interlaced 8-bit-depth color
-    types (gray / RGB / palette / gray+alpha / RGBA): walks the
-    chunk stream, inflates the concatenated IDAT payload, reverses
-    the five scanline filters (None/Sub/Up/Average/Paeth) per the
-    spec, and maps color-type-3 index planes through the PLTE
-    palette to RGB. Returns (h, w) uint8 for grayscale,
-    (h, w, channels) otherwise. Raises ValueError on malformed
-    streams and NotImplementedError only for 16-bit depth /
-    Adam7-interlaced images (and JPEG/WebP upstream — no codec
-    libs in this container)."""
+    library. Supports ALL five non-interlaced color types at 8-bit
+    depth (gray / RGB / palette / gray+alpha / RGBA) plus 16-bit
+    depth for the four non-palette types: walks the chunk stream,
+    inflates the concatenated IDAT payload, reverses the five
+    scanline filters (None/Sub/Up/Average/Paeth) per the spec —
+    byte-wise with bpp-offset predecessors, as the spec defines for
+    any depth — assembles big-endian sample pairs into uint16 for
+    depth 16, and maps color-type-3 index planes through the PLTE
+    palette to RGB. Returns (h, w) for grayscale, (h, w, channels)
+    otherwise; dtype uint8 at depth 8, uint16 at depth 16. Raises
+    ValueError on malformed streams and NotImplementedError only
+    for sub-byte depths / Adam7-interlaced images (and JPEG/WebP
+    upstream — no codec libs in this container)."""
     import struct
     import zlib
 
@@ -248,7 +251,7 @@ def decode_png(content: bytes):
         raise ValueError("unknown compression/filter method")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(f"{depth}-bit PNG not supported")
     # color type 3 (palette): the filtered stream is one index byte
     # per pixel; indices map through PLTE to RGB after unfiltering
@@ -257,10 +260,17 @@ def decode_png(content: bytes):
         raise NotImplementedError(
             f"PNG color type {color_type} not supported"
         )
+    if color_type == 3 and depth == 16:
+        # PNG spec: palette images allow bit depths 1/2/4/8 only
+        raise ValueError("16-bit palette PNG is not a legal combination")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    # scanline filters operate on BYTES with the "corresponding byte
+    # of the prior pixel" bpp bytes back — for 16-bit samples that is
+    # channels*2, so the unfilter offsets use bpp, never channels
+    bpp = channels * (depth // 8)
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"decompressed size {len(raw)} != {h}x({stride}+1)"
@@ -282,14 +292,14 @@ def decode_png(content: bytes):
         elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
             rec = np.zeros(stride, np.int32)
             for x in range(stride):
-                a = int(rec[x - channels]) if x >= channels else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
                     pred = (a + b) // 2
                 else:
-                    c = int(prev[x - channels]) if x >= channels else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (
@@ -300,6 +310,11 @@ def decode_png(content: bytes):
         else:
             raise ValueError(f"unknown scanline filter {ftype}")
         out[y] = (rec & 0xFF).astype(np.uint8)
+    if depth == 16:
+        # big-endian sample pairs → uint16
+        pairs = out.reshape(h, w, channels, 2).astype(np.uint16)
+        img16 = (pairs[..., 0] << 8) | pairs[..., 1]
+        return img16[:, :, 0] if channels == 1 else img16
     img = out.reshape(h, w, channels)
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -313,7 +328,9 @@ def decode_png(content: bytes):
     return img[:, :, 0] if channels == 1 else img
 
 
-def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
+def make_png(
+    w: int, h: int, seed: int, color_type: int = 2, depth: int = 8
+) -> bytes:
     """Deterministic synthetic PNG (fixture/demo generator): pixel
     (x, y, c) = (seed + 3x + 7y + 11c) mod 256 — the same raster
     arithmetic as :func:`make_ppm`, so a SQL oracle regenerates it.
@@ -325,12 +342,23 @@ def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
     and PLTE entry i is ((seed + 3i) mod 256, (seed + 7i) mod 256,
     (seed + 11i) mod 256), so the decoded RGB raster is
     pixel(x, y, c) = (seed + p_c * idx) mod 256 with p = (3, 7, 11)
-    — still closed-form for a SQL oracle."""
+    — still closed-form for a SQL oracle.
+
+    ``depth=16`` (gray / RGB only here) emits each sample as the
+    8-bit value REPLICATED into both bytes — the spec's own 8→16
+    scaling, v16 = v8 * 257 — so the decoded raster stays
+    closed-form (just scaled) AND the byte stream still exercises
+    the bpp-offset unfilter paths (hi/lo bytes of adjacent samples
+    interleave through the same filters)."""
     import struct
     import zlib
 
     import numpy as np
 
+    if depth not in (8, 16):
+        raise ValueError("generator supports depth 8 or 16")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     channels = {0: 1, 2: 3, 3: 1}[color_type]
     xs = np.arange(w).reshape(1, w, 1)
     ys = np.arange(h).reshape(h, 1, 1)
@@ -339,17 +367,21 @@ def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
     else:
         cs = np.arange(channels).reshape(1, 1, channels)
         px = ((seed + 3 * xs + 7 * ys + 11 * cs) % 256).astype(np.int32)
-    stride = w * channels
-    flat = px.reshape(h, stride)
+    bpp = channels * (depth // 8)
+    stride = w * bpp
+    flat = px.reshape(h, w * channels)
+    if depth == 16:
+        # v16 = v8 * 257 == (v8 << 8) | v8: replicate each sample byte
+        flat = np.repeat(flat, 2, axis=1)
     lines = bytearray()
     for y in range(h):
         ftype = y % 5
         row = flat[y]
         prev = flat[y - 1] if y else np.zeros(stride, np.int32)
-        a = np.concatenate([np.zeros(channels, np.int32), row[:-channels]]) \
-            if stride > channels else np.zeros(stride, np.int32)
-        c = np.concatenate([np.zeros(channels, np.int32), prev[:-channels]]) \
-            if stride > channels else np.zeros(stride, np.int32)
+        a = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]]) \
+            if stride > bpp else np.zeros(stride, np.int32)
+        c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) \
+            if stride > bpp else np.zeros(stride, np.int32)
         if ftype == 0:
             enc = row
         elif ftype == 1:
@@ -376,7 +408,7 @@ def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     parts = [_PNG_SIG, chunk(b"IHDR", ihdr)]
     if color_type == 3:
         i = np.arange(256).reshape(256, 1)
@@ -417,9 +449,10 @@ def make_bmp(w: int, h: int, seed: int) -> bytes:
 
 def decode_image_real(content: bytes):
     """Real decode hook: netpbm (P5/P6), uncompressed BMP, and
-    non-interlaced 8-bit PNG (stdlib zlib + numpy unfilter) decode
-    without any codec library; JPEG/WebP raise until one is present.
-    Returns an (h, w[, channels]) uint8 array."""
+    non-interlaced 8/16-bit PNG (stdlib zlib + numpy unfilter)
+    decode without any codec library; JPEG/WebP raise until one is
+    present. Returns an (h, w[, channels]) uint8 array (uint16 for
+    16-bit PNG)."""
     if content[:2] in (b"P5", b"P6"):
         return decode_netpbm(content)
     if content[:2] == b"BM":
@@ -438,14 +471,22 @@ def image_to_features(img, dim: int = 8) -> list[float]:
     resize→embed stand-in, now over REAL pixels."""
     import numpy as np
 
-    arr = np.asarray(img, dtype=np.float64)
+    raw = np.asarray(img)
+    # normalize by the sample dtype's full scale (255 for uint8
+    # rasters, 65535 for 16-bit PNG) so features stay in [0, 1]
+    scale = (
+        float(np.iinfo(raw.dtype).max)
+        if np.issubdtype(raw.dtype, np.integer)
+        else 255.0
+    )
+    arr = raw.astype(np.float64)
     if arr.ndim == 3:
         arr = arr.mean(axis=2)
     prof = arr.mean(axis=1)
     idx = (np.arange(dim) * len(prof)) // dim
     ends = np.append(idx[1:], len(prof))
     return [
-        float(prof[a:b].mean()) / 255.0 if b > a else 0.0
+        float(prof[a:b].mean()) / scale if b > a else 0.0
         for a, b in zip(idx, ends)
     ]
 

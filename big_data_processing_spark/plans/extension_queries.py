@@ -996,6 +996,87 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_features_16bit",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id % 2 AS fmt FROM documents WHERE doc_id < 60
+    ), dims AS (
+      SELECT doc_id, fmt,
+             CASE fmt WHEN 0 THEN 8 ELSE 7 END AS w,
+             CASE fmt WHEN 0 THEN 6 ELSE 5 END AS h,
+             CASE fmt WHEN 0 THEN 1 ELSE 3 END AS nch
+      FROM ids
+    ), px AS (
+      SELECT d.doc_id, d.fmt, d.w, d.h,
+             ((d.doc_id + 3 * x.range + 7 * y.range + 11 * c.range)
+              % 256) * 257 AS v
+      FROM dims d, range(0, 16) x, range(0, 16) y, range(0, 3) c
+      WHERE x.range < d.w AND y.range < d.h AND c.range < d.nch
+    )
+    SELECT doc_id AS media_id, fmt, w AS width, h AS height,
+           round(avg(v), 6) AS mean_pixel, TRUE AS decode_ok
+    FROM px GROUP BY doc_id, fmt, w, h
+    ORDER BY media_id
+    """,
+    doc="16-bit PNG decode, value-checked end-to-end: per doc a REAL "
+    "16-bit-depth PNG (gray or RGB by doc_id parity, distinct dims "
+    "per type) is synthesized with every scanline filter and pushed "
+    "through decode_png's bpp-offset unfilter + big-endian sample "
+    "assembly (functions/multimodal.py). The generator replicates "
+    "each 8-bit sample into both bytes (the spec's 8-to-16 scaling, "
+    "v16 = v8 * 257), so the oracle regenerates the uint16 raster "
+    "arithmetically. Shrinks the decoder's NotImplementedError "
+    "surface to JPEG/WebP, sub-byte depths, and Adam7 (r6 verdict "
+    "trajectory)",
+)
+def q_image_features_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_media_stats,
+        make_png,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60),
+        "doc_id",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(i: int) -> bytes:
+            if i % 2 == 0:
+                return make_png(8, 6, seed=i, color_type=0, depth=16)
+            return make_png(7, 5, seed=i, color_type=2, depth=16)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(lambda i: one(int(i))),
+                }
+            )
+
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    return (
+        decode_media_stats(media)
+        .select(
+            "media_id",
+            (F.col("media_id") % 2).alias("fmt"),
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+            "decode_ok",
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
     "events_props_stats",
     """
     SELECT event_type,

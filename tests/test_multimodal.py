@@ -336,3 +336,48 @@ def test_decode_media_stats_mixed_formats(spark):
     assert not got[4].decode_ok and got[4].n_bytes == 16
     assert not got[5].decode_ok and got[5].n_bytes == 0
     assert all(got[i].decode_ok for i in range(4))
+
+
+def test_png_16bit_roundtrip():
+    import numpy as np
+    import pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_png,
+        make_png,
+    )
+
+    # 6 rows -> every scanline filter; bpp-offset unfilter (6 bytes
+    # per RGB16 pixel) must reconstruct the exact uint16 raster
+    img = decode_png(make_png(8, 6, seed=13, depth=16))
+    assert img.dtype == np.uint16 and img.shape == (6, 8, 3)
+    xs = np.arange(8).reshape(1, 8, 1)
+    ys = np.arange(6).reshape(6, 1, 1)
+    cs = np.arange(3).reshape(1, 1, 3)
+    want = (((13 + 3 * xs + 7 * ys + 11 * cs) % 256) * 257).astype(
+        np.uint16
+    )
+    assert (img == want).all()
+    # 16-bit grayscale decodes to 2-D uint16
+    g = decode_png(make_png(5, 7, seed=3, color_type=0, depth=16))
+    assert g.dtype == np.uint16 and g.shape == (7, 5)
+    wantg = (((3 + 3 * np.arange(5).reshape(1, 5)
+               + 7 * np.arange(7).reshape(7, 1)) % 256) * 257).astype(
+        np.uint16
+    )
+    assert (g == wantg).all()
+    # spec forbids 16-bit palette; generator and decoder both refuse
+    with pytest.raises(ValueError):
+        make_png(4, 4, seed=1, color_type=3, depth=16)
+    # sub-byte depths stay an honest NotImplementedError
+    import struct
+    import zlib
+
+    png = bytearray(make_png(4, 4, seed=1, color_type=0))
+    png[24] = 4  # IHDR bit-depth field
+    ihdr = bytes(png[16:29])
+    png[29:33] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(png))
