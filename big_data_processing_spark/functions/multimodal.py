@@ -196,21 +196,109 @@ def decode_bmp(content: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+# Legal (color type → bit depths) combinations per the PNG spec.
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),  # grayscale
+    2: (8, 16),           # RGB
+    3: (1, 2, 4, 8),      # palette
+    4: (8, 16),           # gray + alpha
+    6: (8, 16),           # RGBA
+}
+
+
+def _png_unfilter(arr, stride: int, bpp: int):
+    """Reverse the five scanline filters over one (sub)image.
+
+    ``arr`` is (rows, stride+1) uint8 — filter byte + filtered
+    bytes per scanline. Filters operate on BYTES with the
+    "corresponding byte of the prior pixel" ``bpp`` bytes back
+    (``ceil(channels*depth/8)``, min 1 — so sub-byte depths use 1
+    and 16-bit RGB uses 6), exactly as the spec defines for any
+    depth. Returns (rows, stride) uint8 of reconstructed bytes."""
+    import numpy as np
+
+    n = arr.shape[0]
+    out = np.zeros((n, stride), dtype=np.uint8)
+    for y in range(n):
+        ftype = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        prev = (
+            out[y - 1].astype(np.int32)
+            if y
+            else np.zeros(stride, np.int32)
+        )
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 2:  # Up — no intra-row dependency: vectorized
+            rec = row + prev
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    # ties resolve a, then b, then c — spec order
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out
+
+
+def _png_rows_to_samples(rows, w: int, channels: int, depth: int):
+    """Unpack reconstructed scanline BYTES into per-pixel samples:
+    (rows, w*channels) uint8 for depth ≤ 8 (sub-byte samples are
+    packed MSB-first within each byte; rows are byte-aligned so
+    trailing pad bits just fall off the slice) or uint16 for
+    depth 16 (big-endian sample pairs)."""
+    import numpy as np
+
+    n = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels]
+    if depth == 16:
+        pairs = rows.reshape(n, -1, 2).astype(np.uint16)
+        return ((pairs[..., 0] << 8) | pairs[..., 1])[:, : w * channels]
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(n, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8)[
+        :, : w * channels
+    ]
+
+
 def decode_png(content: bytes):
     """REAL PNG decode with stdlib ``zlib`` + numpy — no codec
-    library. Supports ALL five non-interlaced color types at 8-bit
-    depth (gray / RGB / palette / gray+alpha / RGBA) plus 16-bit
-    depth for the four non-palette types: walks the chunk stream,
-    inflates the concatenated IDAT payload, reverses the five
-    scanline filters (None/Sub/Up/Average/Paeth) per the spec —
-    byte-wise with bpp-offset predecessors, as the spec defines for
-    any depth — assembles big-endian sample pairs into uint16 for
-    depth 16, and maps color-type-3 index planes through the PLTE
-    palette to RGB. Returns (h, w) for grayscale, (h, w, channels)
-    otherwise; dtype uint8 at depth 8, uint16 at depth 16. Raises
-    ValueError on malformed streams and NotImplementedError only
-    for sub-byte depths / Adam7-interlaced images (and JPEG/WebP
-    upstream — no codec libs in this container)."""
+    library, covering every legal IHDR shape: all five color types
+    (gray / RGB / palette / gray+alpha / RGBA) at every bit depth
+    the spec allows for each (1/2/4/8/16 gray, 1/2/4/8 palette,
+    8/16 for the rest), both non-interlaced and Adam7-interlaced.
+    Walks the chunk stream, inflates the concatenated IDAT payload,
+    reverses the five scanline filters (None/Sub/Up/Average/Paeth)
+    byte-wise with bpp-offset predecessors per (sub)image — Adam7
+    filters each of the 7 passes independently — unpacks MSB-first
+    sub-byte samples / big-endian 16-bit sample pairs, and maps
+    color-type-3 index planes through the PLTE palette to RGB.
+    Returns (h, w) for grayscale, (h, w, channels) otherwise; dtype
+    uint8 for depth ≤ 8, uint16 at depth 16. Raises ValueError on
+    malformed streams; NotImplementedError now only for formats
+    whose codecs this container lacks (JPEG/WebP, upstream)."""
     import struct
     import zlib
 
@@ -249,133 +337,91 @@ def decode_png(content: bytes):
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth not in (8, 16):
-        raise NotImplementedError(f"{depth}-bit PNG not supported")
-    # color type 3 (palette): the filtered stream is one index byte
-    # per pixel; indices map through PLTE to RGB after unfiltering
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise NotImplementedError(
             f"PNG color type {color_type} not supported"
         )
-    if color_type == 3 and depth == 16:
-        # PNG spec: palette images allow bit depths 1/2/4/8 only
-        raise ValueError("16-bit palette PNG is not a legal combination")
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"depth {depth} illegal for color type {color_type}"
+        )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    # scanline filters operate on BYTES with the "corresponding byte
-    # of the prior pixel" bpp bytes back — for 16-bit samples that is
-    # channels*2, so the unfilter offsets use bpp, never channels
-    bpp = channels * (depth // 8)
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"decompressed size {len(raw)} != {h}x({stride}+1)"
+    bits_px = channels * depth
+    bpp = max(1, bits_px // 8)
+
+    def stride_of(wp: int) -> int:
+        return (wp * bits_px + 7) // 8
+
+    dtype = np.uint16 if depth == 16 else np.uint8
+    samples = np.zeros((h, w, channels), dtype=dtype)
+    if interlace == 0:
+        stride = stride_of(w)
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"decompressed size {len(raw)} != {h}x({stride}+1)"
+            )
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        rows = _png_unfilter(arr, stride, bpp)
+        samples = _png_rows_to_samples(rows, w, channels, depth).reshape(
+            h, w, channels
         )
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ftype = int(arr[y, 0])
-        row = arr[y, 1:].astype(np.int32)
-        prev = (
-            out[y - 1].astype(np.int32)
-            if y
-            else np.zeros(stride, np.int32)
-        )
-        if ftype == 0:  # None
-            rec = row
-        elif ftype == 2:  # Up — no intra-row dependency: vectorized
-            rec = row + prev
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (
-                        b if pb <= pc else c
-                    )
-                    # ties resolve a, then b, then c — spec order
-                rec[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown scanline filter {ftype}")
-        out[y] = (rec & 0xFF).astype(np.uint8)
-    if depth == 16:
-        # big-endian sample pairs → uint16
-        pairs = out.reshape(h, w, channels, 2).astype(np.uint16)
-        img16 = (pairs[..., 0] << 8) | pairs[..., 1]
-        return img16[:, :, 0] if channels == 1 else img16
-    img = out.reshape(h, w, channels)
+    else:
+        # Adam7: seven consecutive sub-images in the single inflated
+        # stream, each filtered independently; empty passes (zero
+        # rows OR zero pixels per row) contribute no scanlines
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+            hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if wp == 0 or hp == 0:
+                continue
+            stride = stride_of(wp)
+            nbytes = hp * (stride + 1)
+            if pos + nbytes > len(raw):
+                raise ValueError(
+                    f"Adam7 stream truncated: pass needs {nbytes} "
+                    f"bytes, {len(raw) - pos} remain"
+                )
+            arr = np.frombuffer(
+                raw[pos : pos + nbytes], dtype=np.uint8
+            ).reshape(hp, stride + 1)
+            pos += nbytes
+            rows = _png_unfilter(arr, stride, bpp)
+            samples[y0::dy, x0::dx, :] = _png_rows_to_samples(
+                rows, wp, channels, depth
+            ).reshape(hp, wp, channels)
+        if pos != len(raw):
+            raise ValueError(
+                f"{len(raw) - pos} trailing bytes after Adam7 passes"
+            )
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = img[:, :, 0]
+        idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError(
                 f"palette index {int(idx.max())} out of range "
                 f"({len(pal)} entries)"
             )
         return pal[idx]
-    return img[:, :, 0] if channels == 1 else img
+    return samples[:, :, 0] if channels == 1 else samples
 
 
-def make_png(
-    w: int, h: int, seed: int, color_type: int = 2, depth: int = 8
-) -> bytes:
-    """Deterministic synthetic PNG (fixture/demo generator): pixel
-    (x, y, c) = (seed + 3x + 7y + 11c) mod 256 — the same raster
-    arithmetic as :func:`make_ppm`, so a SQL oracle regenerates it.
-    Row y is encoded with scanline filter y mod 5, so a 5+-row image
-    exercises every unfilter path in :func:`decode_png`.
-
-    ``color_type=3`` emits a palette PNG: the index plane is
-    idx(x, y) = (seed + 3x + 7y) mod 256 (filtered the same way)
-    and PLTE entry i is ((seed + 3i) mod 256, (seed + 7i) mod 256,
-    (seed + 11i) mod 256), so the decoded RGB raster is
-    pixel(x, y, c) = (seed + p_c * idx) mod 256 with p = (3, 7, 11)
-    — still closed-form for a SQL oracle.
-
-    ``depth=16`` (gray / RGB only here) emits each sample as the
-    8-bit value REPLICATED into both bytes — the spec's own 8→16
-    scaling, v16 = v8 * 257 — so the decoded raster stays
-    closed-form (just scaled) AND the byte stream still exercises
-    the bpp-offset unfilter paths (hi/lo bytes of adjacent samples
-    interleave through the same filters)."""
-    import struct
-    import zlib
-
+def _png_filter_lines(flat, bpp: int, first_ftype: int = 0) -> bytearray:
+    """Filter a (rows, stride) byte matrix into PNG scanlines,
+    cycling the filter type ``(first_ftype + row) mod 5`` so every
+    unfilter path is exercised. Shared by the whole-image and
+    per-Adam7-pass encode paths."""
     import numpy as np
 
-    if depth not in (8, 16):
-        raise ValueError("generator supports depth 8 or 16")
-    if depth == 16 and color_type == 3:
-        raise ValueError("16-bit palette PNG is not a legal combination")
-    channels = {0: 1, 2: 3, 3: 1}[color_type]
-    xs = np.arange(w).reshape(1, w, 1)
-    ys = np.arange(h).reshape(h, 1, 1)
-    if color_type == 3:
-        px = ((seed + 3 * xs + 7 * ys) % 256).astype(np.int32)
-    else:
-        cs = np.arange(channels).reshape(1, 1, channels)
-        px = ((seed + 3 * xs + 7 * ys + 11 * cs) % 256).astype(np.int32)
-    bpp = channels * (depth // 8)
-    stride = w * bpp
-    flat = px.reshape(h, w * channels)
-    if depth == 16:
-        # v16 = v8 * 257 == (v8 << 8) | v8: replicate each sample byte
-        flat = np.repeat(flat, 2, axis=1)
+    rows_n, stride = flat.shape
     lines = bytearray()
-    for y in range(h):
-        ftype = y % 5
+    for y in range(rows_n):
+        ftype = (first_ftype + y) % 5
         row = flat[y]
         prev = flat[y - 1] if y else np.zeros(stride, np.int32)
         a = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]]) \
@@ -399,6 +445,95 @@ def make_png(
             enc = row - pred
         lines.append(ftype)
         lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    return lines
+
+
+def _png_samples_to_rows(samples, depth: int):
+    """Pack a (rows, w*channels) sample matrix into scanline BYTES:
+    identity for depth 8, byte replication for depth 16 (v16 =
+    v8*257 — the generator's samples are 8-bit values), MSB-first
+    bit packing with row padding for sub-byte depths."""
+    import numpy as np
+
+    if depth == 8:
+        return samples
+    if depth == 16:
+        return np.repeat(samples, 2, axis=1)
+    n, m = samples.shape
+    bits = (
+        (samples[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(n, m * depth).astype(np.uint8)
+    return np.packbits(bits, axis=1).astype(np.int32)
+
+
+def make_png(
+    w: int,
+    h: int,
+    seed: int,
+    color_type: int = 2,
+    depth: int = 8,
+    interlaced: bool = False,
+) -> bytes:
+    """Deterministic synthetic PNG (fixture/demo generator): pixel
+    (x, y, c) = (seed + 3x + 7y + 11c) mod 2^min(depth, 8) — the
+    same raster arithmetic as :func:`make_ppm`, so a SQL oracle
+    regenerates it. Scanline filters cycle mod 5 (seeded by the
+    pass's global start row when interlaced), so a 5+-row image
+    exercises every unfilter path in :func:`decode_png`.
+
+    ``color_type=3`` emits a palette PNG: the index plane is
+    idx(x, y) = (seed + 3x + 7y) mod 2^depth (filtered the same
+    way) and PLTE entry i is ((seed + 3i) mod 256, (seed + 7i) mod
+    256, (seed + 11i) mod 256), so the decoded RGB raster is
+    pixel(x, y, c) = (seed + p_c * idx) mod 256 with p = (3, 7, 11)
+    — still closed-form for a SQL oracle.
+
+    ``depth=16`` (gray / RGB only here) emits each sample as the
+    8-bit value REPLICATED into both bytes — the spec's own 8→16
+    scaling, v16 = v8 * 257 — so the decoded raster stays
+    closed-form (just scaled). Sub-byte depths (1/2/4: gray or
+    palette) pack samples MSB-first with row padding. Any legal
+    combination can additionally be ``interlaced`` (Adam7: the
+    seven passes are sliced from the same raster and filtered
+    independently), and decodes to the identical array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if color_type not in (0, 2, 3):
+        raise ValueError("generator supports color types 0, 2, 3")
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"depth {depth} illegal for color type {color_type}"
+        )
+    channels = {0: 1, 2: 3, 3: 1}[color_type]
+    mod = 1 << min(depth, 8)
+    xs = np.arange(w).reshape(1, w, 1)
+    ys = np.arange(h).reshape(h, 1, 1)
+    if channels == 1:
+        px = ((seed + 3 * xs + 7 * ys) % mod).astype(np.int32)
+    else:
+        cs = np.arange(channels).reshape(1, 1, channels)
+        px = ((seed + 3 * xs + 7 * ys + 11 * cs) % mod).astype(np.int32)
+    bpp = max(1, channels * depth // 8)
+    lines = bytearray()
+    if not interlaced:
+        lines = _png_filter_lines(
+            _png_samples_to_rows(px.reshape(h, w * channels), depth), bpp
+        )
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            hp, wp = sub.shape[:2]
+            if hp == 0 or wp == 0:
+                continue
+            lines += _png_filter_lines(
+                _png_samples_to_rows(sub.reshape(hp, wp * channels),
+                                     depth),
+                bpp,
+                first_ftype=y0,
+            )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -408,10 +543,12 @@ def make_png(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlaced)
+    )
     parts = [_PNG_SIG, chunk(b"IHDR", ihdr)]
     if color_type == 3:
-        i = np.arange(256).reshape(256, 1)
+        i = np.arange(1 << depth).reshape(-1, 1)
         p = np.array([3, 7, 11]).reshape(1, 3)
         pal = ((seed + p * i) % 256).astype(np.uint8)
         parts.append(chunk(b"PLTE", pal.tobytes()))

@@ -1077,6 +1077,111 @@ def q_image_features_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_features_interlaced",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id % 4 AS fmt FROM documents WHERE doc_id < 64
+    ), dims AS (
+      SELECT doc_id, fmt,
+             CASE fmt WHEN 0 THEN 13 WHEN 1 THEN 9 WHEN 2 THEN 9
+                      ELSE 8 END AS w,
+             CASE fmt WHEN 0 THEN 11 WHEN 1 THEN 7 WHEN 2 THEN 7
+                      ELSE 6 END AS h,
+             CASE fmt WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 3
+                      ELSE 1 END AS nch
+      FROM ids
+    ), px AS (
+      SELECT d.doc_id, d.fmt, d.w, d.h,
+             CASE d.fmt
+               WHEN 0 THEN (d.doc_id + 3 * x.range + 7 * y.range
+                            + 11 * c.range) % 256
+               WHEN 1 THEN ((d.doc_id + 3 * x.range + 7 * y.range)
+                            % 256) * 257
+               WHEN 2 THEN (d.doc_id
+                            + (CASE c.range WHEN 0 THEN 3 WHEN 1 THEN 7
+                                            ELSE 11 END)
+                              * ((d.doc_id + 3 * x.range + 7 * y.range)
+                                 % 16)) % 256
+               ELSE (d.doc_id + 3 * x.range + 7 * y.range) % 4
+             END AS v
+      FROM dims d, range(0, 16) x, range(0, 16) y, range(0, 3) c
+      WHERE x.range < d.w AND y.range < d.h AND c.range < d.nch
+    )
+    SELECT doc_id AS media_id, fmt, w AS width, h AS height,
+           round(avg(v), 6) AS mean_pixel, TRUE AS decode_ok
+    FROM px GROUP BY doc_id, fmt, w, h
+    ORDER BY media_id
+    """,
+    doc="Adam7-interlaced and sub-byte PNG decode, value-checked "
+    "end-to-end: per doc a REAL PNG exercising the decoder's last "
+    "structural paths by doc_id mod 4 — interlaced RGB8 (13x11: all "
+    "7 passes non-empty with ragged tails), interlaced 16-bit gray, "
+    "interlaced 4-bit palette (sub-byte index unpack + PLTE), and "
+    "2-bit gray (MSB-first bit unpack with row padding). Each shape "
+    "has distinct dims so a pass-layout or bit-unpack mix-up breaks "
+    "its rows; the oracle regenerates every raster arithmetically. "
+    "With this, decode_png covers every legal IHDR shape and "
+    "NotImplementedError remains only for JPEG/WebP (no codec libs)",
+)
+def q_image_features_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_media_stats,
+        make_png,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(i: int) -> bytes:
+            f = i % 4
+            if f == 0:
+                return make_png(13, 11, seed=i, interlaced=True)
+            if f == 1:
+                return make_png(
+                    9, 7, seed=i, color_type=0, depth=16, interlaced=True
+                )
+            if f == 2:
+                return make_png(
+                    9, 7, seed=i, color_type=3, depth=4, interlaced=True
+                )
+            return make_png(8, 6, seed=i, color_type=0, depth=2)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(lambda i: one(int(i))),
+                }
+            )
+
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    return (
+        decode_media_stats(media)
+        .select(
+            "media_id",
+            (F.col("media_id") % 4).alias("fmt"),
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+            "decode_ok",
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
     "events_props_stats",
     """
     SELECT event_type,

@@ -256,13 +256,15 @@ def test_png_rejects_malformed():
     # now declares more bytes than remain → overrun error
     with pytest.raises(ValueError):
         decode_png(png[:-16])
-    # interlaced flag → honest NotImplementedError (IHDR byte 28:
-    # 8 sig + 8 chunk hdr + 12 = offset 28 is the interlace field)
+    # flipping the interlace flag (IHDR byte 28: 8 sig + 8 chunk hdr
+    # + 12) on a stream ENCODED non-interlaced makes the Adam7 pass
+    # layout disagree with the payload → structural ValueError, not
+    # a wrong image
     lace = bytearray(png)
     lace[28] = 1
     ihdr = bytes(lace[16:29])
     lace[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bytes(lace))
     # decode_image_real routes PNG by signature
     assert decode_image_real(png).shape == (4, 4, 3)
@@ -369,15 +371,60 @@ def test_png_16bit_roundtrip():
     # spec forbids 16-bit palette; generator and decoder both refuse
     with pytest.raises(ValueError):
         make_png(4, 4, seed=1, color_type=3, depth=16)
-    # sub-byte depths stay an honest NotImplementedError
+    # an IHDR depth the spec does not define anywhere → ValueError
     import struct
     import zlib
 
     png = bytearray(make_png(4, 4, seed=1, color_type=0))
-    png[24] = 4  # IHDR bit-depth field
+    png[24] = 3  # IHDR bit-depth field: 3 is illegal for every type
     ihdr = bytes(png[16:29])
     png[29:33] = struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bytes(png))
+
+
+def test_png_adam7_and_subbyte_roundtrip():
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_png,
+        make_png,
+    )
+
+    def want_gray(w, h, seed, depth):
+        mod = 1 << min(depth, 8)
+        g = ((seed + 3 * np.arange(w).reshape(1, w)
+              + 7 * np.arange(h).reshape(h, 1)) % mod)
+        return g * 257 if depth == 16 else g
+
+    # Adam7 RGB8: 13x11 exercises all 7 passes with ragged tails
+    img = decode_png(make_png(13, 11, seed=77, interlaced=True))
+    xs = np.arange(13).reshape(1, 13, 1)
+    ys = np.arange(11).reshape(11, 1, 1)
+    cs = np.arange(3).reshape(1, 1, 3)
+    assert (img == (77 + 3 * xs + 7 * ys + 11 * cs) % 256).all()
+    # Adam7 16-bit gray (bpp=2 through per-pass filters)
+    g16 = decode_png(
+        make_png(9, 7, seed=5, color_type=0, depth=16, interlaced=True)
+    )
+    assert g16.dtype == np.uint16
+    assert (g16 == want_gray(9, 7, 5, 16)).all()
+    # sub-byte grays: MSB-first unpack with row-pad truncation
+    for depth in (1, 2, 4):
+        g = decode_png(make_png(9, 7, seed=5, color_type=0, depth=depth))
+        assert (g == want_gray(9, 7, 5, depth)).all(), depth
+    # 4-bit palette (15 < 2^4 indices through a 16-entry PLTE),
+    # interlaced for good measure
+    p4 = decode_png(
+        make_png(9, 7, seed=41, color_type=3, depth=4, interlaced=True)
+    )
+    idx = want_gray(9, 7, 41, 4)
+    pal = np.array([3, 7, 11]).reshape(1, 1, 3)
+    assert (p4 == (41 + pal * idx[:, :, None]) % 256).all()
+    # a 1x1 interlaced image lives entirely in pass 1
+    one = decode_png(
+        make_png(1, 1, seed=9, color_type=0, depth=8, interlaced=True)
+    )
+    assert one.shape == (1, 1) and int(one[0, 0]) == 9 % 256
