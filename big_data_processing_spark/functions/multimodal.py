@@ -744,13 +744,18 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def decode_wav(content: bytes):
-    """REAL RIFF/WAVE decode for uncompressed PCM16 mono — a proper
-    chunk walker (fmt /data in any order, unknown chunks skipped,
-    word-aligned), pure numpy like :func:`decode_netpbm` /
-    :func:`decode_bmp`. Returns (sample_rate, int16 sample array).
+    """REAL RIFF/WAVE decode for the full uncompressed family — a
+    proper chunk walker (fmt /data in any order, unknown chunks
+    skipped, word-aligned), pure numpy like :func:`decode_netpbm` /
+    :func:`decode_bmp`. Supports integer PCM at 8 (unsigned, per
+    spec), 16, 24 (3-byte little-endian, sign-extended) and 32
+    bits, IEEE-float at 32/64 bits (format tag 3), and any channel
+    count. Returns (sample_rate, samples): a 1-D array for mono, an
+    (n_frames, channels) array for interleaved multi-channel; dtype
+    matches the stream (uint8 / int16 / int32 / float32 / float64).
     Raises ValueError on malformed RIFF and NotImplementedError for
-    compressed/float/multi-channel formats (codec libs absent from
-    the runtime — same honesty contract as the image path)."""
+    compressed format tags (ADPCM/MP3/… — codec libs absent from
+    the runtime, same honesty contract as the image path)."""
     import struct
 
     import numpy as np
@@ -782,36 +787,104 @@ def decode_wav(content: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
-    if audio_format != 1:
-        raise NotImplementedError(f"compressed WAV format {audio_format}")
-    if channels != 1 or bits != 16:
+    if audio_format == 1:
+        if bits not in (8, 16, 24, 32):
+            raise ValueError(f"illegal PCM bit width {bits}")
+    elif audio_format == 3:
+        if bits not in (32, 64):
+            raise ValueError(f"illegal IEEE-float bit width {bits}")
+    else:
         raise NotImplementedError(
-            f"only PCM16 mono supported, got {channels}ch/{bits}bit"
+            f"compressed WAV format {audio_format}"
         )
-    if len(data) % 2:
-        # PCM16 data must align to the 2-byte sample size; an odd
-        # data length is corruption, not a sample to drop
-        raise ValueError(f"PCM16 data chunk has odd length {len(data)}")
-    return sample_rate, np.frombuffer(data, dtype="<i2")
+    if channels < 1:
+        raise ValueError("channel count must be >= 1")
+    frame = channels * (bits // 8)
+    if len(data) % frame:
+        # data must align to whole interleaved frames; a ragged
+        # tail is corruption, not a sample to drop
+        raise ValueError(
+            f"data chunk length {len(data)} not a multiple of the "
+            f"{frame}-byte frame"
+        )
+    if audio_format == 3:
+        v = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+    elif bits == 8:
+        v = np.frombuffer(data, dtype=np.uint8)  # 8-bit PCM: unsigned
+    elif bits == 16:
+        v = np.frombuffer(data, dtype="<i2")
+    elif bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
+    else:
+        v = np.frombuffer(data, dtype="<i4")
+    if channels > 1:
+        v = v.reshape(-1, channels)
+    return sample_rate, v
 
 
-def make_wav(n_samples: int, seed: int, sample_rate: int = 8000) -> bytes:
-    """Deterministic synthetic PCM16 mono WAV (fixture/demo
-    generator; sample i = ((seed*31 + i*737) mod 65536) - 32768)."""
+def make_wav(
+    n_samples: int,
+    seed: int,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+    audio_format: int = 1,
+) -> bytes:
+    """Deterministic synthetic WAV (fixture/demo generator) over the
+    interleaved sample index j = frame*channels + channel:
+
+    - PCM16 (default): v_j = ((seed*31 + j*737) mod 65536) - 32768
+    - PCM8:            v_j = (seed*31 + j*737) mod 256 (unsigned)
+    - PCM24:           v_j = ((seed*31 + j*737) mod 2^24) - 2^23
+    - float32 (format 3): PCM16's value / 32768.0 — a dyadic
+      rational exactly representable in float32 AND in SQL doubles,
+      so stats stay closed-form for an oracle
+
+    ``n_samples`` counts FRAMES (per-channel samples)."""
     import struct
 
     import numpy as np
 
-    i = np.arange(n_samples, dtype=np.int64)
-    v = ((seed * 31 + i * 737) % 65536 - 32768).astype("<i2")
-    data = v.tobytes()
+    if (audio_format, bits) not in ((1, 8), (1, 16), (1, 24), (3, 32)):
+        raise ValueError(
+            "generator supports PCM 8/16/24-bit and float32"
+        )
+    j = np.arange(n_samples * channels, dtype=np.int64)
+    base = seed * 31 + j * 737
+    if audio_format == 3:
+        data = (
+            ((base % 65536 - 32768) / 32768.0).astype("<f4").tobytes()
+        )
+    elif bits == 8:
+        data = (base % 256).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = (base % 65536 - 32768).astype("<i2").tobytes()
+    else:  # 24-bit: 3-byte little-endian two's complement
+        v = (base % (1 << 24) - (1 << 23)).astype(np.int64)
+        u = np.where(v < 0, v + (1 << 24), v)
+        b = np.zeros((len(u), 3), dtype=np.uint8)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        data = b.tobytes()
+    block_align = channels * (bits // 8)
     hdr = (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
         + b"WAVE"
         + b"fmt "
         + struct.pack(
-            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+            "<IHHIIHH",
+            16,
+            audio_format,
+            channels,
+            sample_rate,
+            sample_rate * block_align,
+            block_align,
+            bits,
         )
         + b"data"
         + struct.pack("<I", len(data))

@@ -507,6 +507,130 @@ def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_decode_mixed",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id % 4 AS fmt FROM documents WHERE doc_id < 64
+    ), meta AS (
+      SELECT doc_id, fmt, 48 + doc_id % 16 AS n,
+             CASE fmt WHEN 0 THEN 2 ELSE 1 END AS ch
+      FROM ids
+    ), s AS (
+      SELECT m.doc_id, m.fmt, m.n, m.ch,
+             CASE m.fmt
+               WHEN 0 THEN CAST(((m.doc_id * 31 + j.range * 737)
+                                 % 65536) - 32768 AS DOUBLE)
+               WHEN 1 THEN CAST((m.doc_id * 31 + j.range * 737)
+                                % 256 AS DOUBLE)
+               WHEN 2 THEN CAST(((m.doc_id * 31 + j.range * 737)
+                                 % 16777216) - 8388608 AS DOUBLE)
+               ELSE (((m.doc_id * 31 + j.range * 737) % 65536)
+                     - 32768) / 32768.0
+             END AS v
+      FROM meta m, range(0, 128) j
+      WHERE j.range < m.n * m.ch
+    )
+    SELECT doc_id AS media_id, fmt, 8000 AS sample_rate,
+           CAST(max(n) AS INT) AS n_frames,
+           CAST(max(ch) AS INT) AS channels,
+           round(avg(v), 6) AS mean_amp,
+           round(sqrt(avg(v * v)), 6) AS rms,
+           round(max(abs(v)), 6) AS peak
+    FROM s GROUP BY doc_id, fmt
+    ORDER BY media_id
+    """,
+    doc="Mixed-format audio decode, value-checked end-to-end: per doc "
+    "a REAL WAV by doc_id mod 4 — interleaved PCM16 STEREO, unsigned "
+    "PCM8, 24-bit PCM (3-byte little-endian sign extension), or "
+    "IEEE-float32 (format tag 3, samples dyadic rationals exactly "
+    "representable in f32 and SQL doubles) — through the RIFF chunk "
+    "walker (functions/multimodal.py decode_wav) to frame/channel "
+    "counts and amplitude stats; the oracle regenerates every "
+    "waveform arithmetically over the interleaved index. With this, "
+    "decode_wav covers the whole uncompressed WAV family; "
+    "NotImplementedError remains only for compressed format tags",
+)
+def q_audio_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id: int):
+            i, f = int(doc_id), int(doc_id) % 4
+            n = 48 + i % 16
+            if f == 0:
+                wav = make_wav(n, seed=i, channels=2)
+            elif f == 1:
+                wav = make_wav(n, seed=i, bits=8)
+            elif f == 2:
+                wav = make_wav(n, seed=i, bits=24)
+            else:
+                wav = make_wav(n, seed=i, bits=32, audio_format=3)
+            rate, v = decode_wav(wav)
+            ch = 1 if v.ndim == 1 else v.shape[1]
+            # float64 is exact for every supported sample type
+            # (ints < 2^31; float32 dyadics) so these stats match
+            # the SQL oracle bit-for-bit before the shared rounding
+            a = v.astype(np.float64)
+            return (
+                rate,
+                v.shape[0],
+                ch,
+                float(a.sum()) / a.size,
+                float(np.sqrt((a * a).sum() / a.size)),
+                float(np.abs(a).max()),
+            )
+
+        for pdf in batches:
+            t = pdf["doc_id"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "fmt": (pdf["doc_id"] % 4).astype("int64"),
+                    "sample_rate": t.map(lambda x: x[0]).astype("int32"),
+                    "n_frames": t.map(lambda x: x[1]).astype("int32"),
+                    "channels": t.map(lambda x: x[2]).astype("int32"),
+                    "mean_amp": t.map(lambda x: x[3]),
+                    "rms": t.map(lambda x: x[4]),
+                    "peak": t.map(lambda x: x[5]),
+                }
+            )
+
+    out = ids.mapInPandas(
+        kernel,
+        schema="media_id long, fmt long, sample_rate int, "
+        "n_frames int, channels int, mean_amp double, rms double, "
+        "peak double",
+    )
+    return out.select(
+        "media_id",
+        "fmt",
+        "sample_rate",
+        "n_frames",
+        "channels",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Sequence analytics: event-type transition matrix with dwell times
 # ---------------------------------------------------------------------------

@@ -193,12 +193,14 @@ def test_wav_decode_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
     wav = bytearray(make_wav(10, seed=1))
-    wav[22] = 2  # channels = 2 (stereo)
-    with pytest.raises(NotImplementedError):
-        decode_wav(bytes(wav))
+    wav[22] = 2  # claim stereo on a 10-sample PCM16 stream: the 20
+    # data bytes still split into whole 4-byte frames, so it decodes
+    # as 5 interleaved frames rather than raising
+    rate, v = decode_wav(bytes(wav))
+    assert v.shape == (5, 2)
     wav = bytearray(make_wav(10, seed=1))
-    wav[20] = 3  # IEEE float format
-    with pytest.raises(NotImplementedError):
+    wav[20] = 3  # IEEE-float tag with a 16-bit width: illegal combo
+    with pytest.raises(ValueError):
         decode_wav(bytes(wav))
     # a truncated buffer (chunk size overruns) raises — corruption
     # is never silently decoded to fewer samples
@@ -428,3 +430,48 @@ def test_png_adam7_and_subbyte_roundtrip():
         make_png(1, 1, seed=9, color_type=0, depth=8, interlaced=True)
     )
     assert one.shape == (1, 1) and int(one[0, 0]) == 9 % 256
+
+
+def test_wav_uncompressed_family_roundtrip():
+    import numpy as np
+    import pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+
+    # stereo PCM16: interleaved frames -> (n, 2), formula over the
+    # interleaved index
+    rate, v = decode_wav(make_wav(6, seed=3, channels=2))
+    jj = np.arange(12).reshape(6, 2)
+    assert v.shape == (6, 2) and v.dtype == np.int16
+    assert (v == (3 * 31 + jj * 737) % 65536 - 32768).all()
+    # PCM8 is UNSIGNED per spec
+    rate, v = decode_wav(make_wav(9, seed=4, bits=8))
+    assert v.dtype == np.uint8
+    assert (v == (4 * 31 + np.arange(9) * 737) % 256).all()
+    # PCM24: 3-byte little-endian two's complement, sign-extended
+    rate, v = decode_wav(make_wav(7, seed=5, bits=24))
+    want = (5 * 31 + np.arange(7) * 737) % (1 << 24) - (1 << 23)
+    assert v.dtype == np.int32 and (v == want).all()
+    # float32 (format tag 3): dyadic rationals decode exactly
+    rate, v = decode_wav(make_wav(8, seed=6, bits=32, audio_format=3))
+    want = ((6 * 31 + np.arange(8) * 737) % 65536 - 32768) / 32768.0
+    assert v.dtype == np.float32
+    assert (v.astype(np.float64) == want).all()
+    # a data chunk that is not whole frames is corruption
+    import struct
+
+    b = bytearray(make_wav(4, seed=1, channels=2))
+    sz = struct.unpack("<I", b[4:8])[0]
+    b[4:8] = struct.pack("<I", sz - 1)
+    dlen = struct.unpack("<I", b[40:44])[0]
+    b[40:44] = struct.pack("<I", dlen - 1)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b[:-1]))
+    # compressed format tags stay an honest NotImplementedError
+    adpcm = bytearray(make_wav(4, seed=1))
+    adpcm[20:22] = struct.pack("<H", 2)  # fmt tag: MS ADPCM
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(adpcm))
