@@ -126,8 +126,10 @@ def sample_video_frames(
 
 
 def decode_netpbm(content: bytes):
-    """Decode binary netpbm: P5 (grayscale) → (h, w) uint8 array,
-    P6 (RGB) → (h, w, 3). Pure numpy; maxval ≤ 255 only."""
+    """Decode binary netpbm: P5 (grayscale) → (h, w), P6 (RGB) →
+    (h, w, 3). Pure numpy. maxval ≤ 255 decodes to uint8; the
+    spec's wide form (255 < maxval < 65536, big-endian 2-byte
+    samples) to uint16."""
     import numpy as np
 
     if not content.startswith((b"P5", b"P6")):
@@ -150,19 +152,25 @@ def decode_netpbm(content: bytes):
         i = j
     i += 1  # the single whitespace after maxval
     w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise ValueError("16-bit netpbm not supported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"netpbm maxval {maxval} out of spec range")
     channels = 3 if content.startswith(b"P6") else 1
-    raster = np.frombuffer(content, dtype=np.uint8, count=w * h * channels,
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    raster = np.frombuffer(content, dtype=dtype, count=w * h * channels,
                            offset=i)
+    if maxval > 255:
+        raster = raster.astype(np.uint16)  # native byte order out
     img = raster.reshape((h, w, channels))
     return img[:, :, 0] if channels == 1 else img
 
 
 def decode_bmp(content: bytes):
-    """Decode an uncompressed (BI_RGB) 24/32-bit BMP → (h, w, 3)
-    uint8 RGB array. Handles bottom-up and top-down rows and the
-    4-byte row stride. Pure numpy."""
+    """Decode an uncompressed (BI_RGB) BMP → (h, w, 3) uint8 RGB
+    array: 24/32-bit direct color, or 8-bit paletted (BGRX color
+    table after the DIB header, biClrUsed entries — 0 meaning 256).
+    Handles bottom-up and top-down rows and the 4-byte row stride.
+    Pure numpy; RLE compression and sub-byte palette widths raise
+    NotImplementedError."""
     import struct
 
     import numpy as np
@@ -176,9 +184,11 @@ def decode_bmp(content: bytes):
     w, h_raw = struct.unpack_from("<ii", content, 18)
     bpp = struct.unpack_from("<H", content, 28)[0]
     compression = struct.unpack_from("<I", content, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
+    clr_used = struct.unpack_from("<I", content, 46)[0]
+    if compression != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
-            "compressed / paletted BMP needs a codec library"
+            "RLE-compressed / sub-byte-paletted BMP needs a codec "
+            "library"
         )
     h = abs(h_raw)
     nbytes = bpp // 8
@@ -189,6 +199,21 @@ def decode_bmp(content: bytes):
     px = rows[:, : w * nbytes].reshape((h, w, nbytes))
     if h_raw > 0:  # bottom-up storage → flip to top-down
         px = px[::-1]
+    if bpp == 8:
+        n_pal = clr_used or 256
+        pal = np.frombuffer(
+            content,
+            dtype=np.uint8,
+            count=n_pal * 4,
+            offset=14 + header_size,
+        ).reshape(n_pal, 4)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"({n_pal} entries)"
+            )
+        return pal[idx][:, :, 2::-1].copy()  # BGRX → RGB
     # BGR(A) → RGB
     return px[:, :, 2::-1].copy()
 
@@ -557,6 +582,38 @@ def make_png(
     return b"".join(parts)
 
 
+def make_bmp8(w: int, h: int, seed: int) -> bytes:
+    """Deterministic synthetic 8-bit PALETTED bottom-up BI_RGB BMP
+    (fixture/demo generator): index plane idx(x, y) =
+    (seed + 3x + 7y) mod 256 through a 256-entry BGRX color table
+    with entry i = ((seed + 3i), (seed + 7i), (seed + 11i)) mod 256
+    as RGB — the same closed forms as :func:`make_png`'s palette
+    mode, so decoded pixel (x, y, c) = (seed + p_c · idx) mod 256
+    with p = (3, 7, 11)."""
+    import struct
+
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    idx = ((seed + 3 * x + 7 * y) % 256).astype(np.uint8)
+    i = np.arange(256).reshape(256, 1)
+    p = np.array([3, 7, 11]).reshape(1, 3)
+    rgb = ((seed + p * i) % 256).astype(np.uint8)
+    table = np.zeros((256, 4), dtype=np.uint8)
+    table[:, :3] = rgb[:, ::-1]  # stored BGRX
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = idx
+    data = rows[::-1].tobytes()  # bottom-up storage
+    data_offset = 14 + 40 + 256 * 4
+    file_size = data_offset + len(data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data), 2835, 2835, 256, 0
+    )
+    return header + dib + table.tobytes() + data
+
+
 def make_bmp(w: int, h: int, seed: int) -> bytes:
     """Deterministic synthetic 24-bit bottom-up BI_RGB BMP
     (fixture/demo generator): RGB pixel (x, y, c) =
@@ -721,15 +778,22 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def make_ppm(width: int, height: int, seed: int) -> bytes:
+def make_ppm(
+    width: int, height: int, seed: int, maxval: int = 255
+) -> bytes:
     """Deterministic synthetic P6 image (pure bytes — fixture/demo
-    generator; pixel (x, y, c) = (seed + 3x + 7y + 11c) mod 256)."""
+    generator; pixel (x, y, c) = (seed + 3x + 7y + 11c) mod
+    (maxval + 1)). ``maxval > 255`` emits the spec's wide form:
+    big-endian 2-byte samples."""
     import numpy as np
 
     y, x, c = np.mgrid[0:height, 0:width, 0:3]
-    px = ((seed + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+    px = (seed + 3 * x + 7 * y + 11 * c) % (maxval + 1)
+    raster = (
+        px.astype(">u2") if maxval > 255 else px.astype(np.uint8)
+    )
     return (
-        f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+        f"P6\n{width} {height}\n{maxval}\n".encode() + raster.tobytes()
     )
 
 

@@ -475,3 +475,43 @@ def test_wav_uncompressed_family_roundtrip():
     adpcm[20:22] = struct.pack("<H", 2)  # fmt tag: MS ADPCM
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(adpcm))
+
+
+def test_netpbm_wide_and_bmp_palette_roundtrip():
+    import numpy as np
+    import pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_bmp,
+        decode_netpbm,
+        make_bmp8,
+        make_ppm,
+    )
+
+    # netpbm wide form: maxval > 255 -> big-endian 2-byte samples,
+    # decoded to native uint16
+    img = decode_netpbm(make_ppm(5, 4, seed=9, maxval=1023))
+    assert img.dtype == np.uint16 and img.shape == (4, 5, 3)
+    xs = np.arange(5).reshape(1, 5, 1)
+    ys = np.arange(4).reshape(4, 1, 1)
+    cs = np.arange(3).reshape(1, 1, 3)
+    assert (img == (9 + 3 * xs + 7 * ys + 11 * cs) % 1024).all()
+    # maxval 0 / >= 65536 are out of spec
+    bad = make_ppm(2, 2, seed=1).replace(b"\n255\n", b"\n65536\n", 1)
+    with pytest.raises(ValueError):
+        decode_netpbm(bad)
+    # 8-bit paletted BMP: BGRX table lookup, stride padding (w=7 ->
+    # stride 8), bottom-up flip
+    img = decode_bmp(make_bmp8(7, 5, seed=41))
+    idx = (41 + 3 * np.arange(7).reshape(1, 7)
+           + 7 * np.arange(5).reshape(5, 1)) % 256
+    p = np.array([3, 7, 11]).reshape(1, 1, 3)
+    assert img.shape == (5, 7, 3)
+    assert (img == (41 + p * idx[:, :, None]) % 256).all()
+    # RLE compression stays an honest NotImplementedError
+    import struct
+
+    rle = bytearray(make_bmp8(4, 4, seed=1))
+    rle[30:34] = struct.pack("<I", 1)  # biCompression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
