@@ -317,3 +317,30 @@ def test_novelty_dedup_anti_join_ships_fingerprints_not_text(spark):
     # Input list mentions fingerprint/doc_id only
     for m in re.finditer(r"\(\d+\) (?:Broadcast)?Exchange\n(Input.*)", plan):
         assert "text#" not in m.group(1), m.group(0)
+
+
+def test_md5_minhash_signatures_zero_shuffle(spark):
+    """The per-row md5 signature build must stay an embarrassingly
+    parallel map: the plan from scan to signature columns contains
+    NO Exchange at all (the old vocab formulation shuffled every
+    gram instance three times — distinct, join, groupBy)."""
+    from big_data_processing_spark.functions.dedup import (
+        md5_gram_sets,
+        md5_minhash_signatures,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    sig = md5_minhash_signatures(
+        md5_gram_sets(docs, "text", "doc_id", shingle_n=5),
+        "doc_id",
+        num_perm=8,
+    )
+    plan = _plan(sig)
+    # _spread's round-robin repartition is the ONLY permitted
+    # exchange (it exists to unfreeze AQE-coalesced layouts, carries
+    # (id, text) once, and disappears on a well-partitioned source)
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), plan
+    assert "HashAggregate" not in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
