@@ -75,6 +75,61 @@ def write_csv(
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (built-in vectorized reader — same pushdown/pruning
+    behavior class as parquet; schema optional, footers carry
+    types)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """ORC sink — for interop with Hive-era warehouses that read
+    ORC, same writer contract as :func:`write_parquet`."""
+    if target_partitions is not None:
+        df = df.coalesce(target_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan. Always pass a schema in production — without
+    one Spark runs a full inference pass, and corpus-scale JSONL is
+    precisely where that second scan hurts."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_partitions: int | None = None,
+) -> None:
+    """JSON-lines sink — the interchange format most text-corpus
+    tooling consumes. Lossy for binary columns (base64 via explicit
+    cast is the caller's choice); keep media in parquet/ORC."""
+    if target_partitions is not None:
+        df = df.coalesce(target_partitions)
+    df.write.mode(mode).json(path)
+
+
 def create_table(
     spark: SparkSession,
     name: str,

@@ -305,3 +305,46 @@ def test_scratch_dir_deterministic_and_wiped():
 
     shutil.rmtree(a, ignore_errors=True)
     shutil.rmtree(c, ignore_errors=True)
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    from big_data_processing_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", 3.5), (3, "x", 4.5)],
+        "id long, k string, v double",
+    )
+    path = os.path.join(str(tmp_path), "t.orc")
+    write_orc(df, path, partition_by=["k"], target_partitions=1)
+    back = read_orc(spark, path)
+    assert sorted((r.id, r.k, r.v) for r in back.collect()) == [
+        (1, "x", 2.5), (2, "y", 3.5), (3, "x", 4.5),
+    ]
+    # hive-layout partition pruning applies to ORC exactly as to
+    # parquet: the k='x' filter must land in the scan's
+    # PartitionFilters, not a post-scan Filter
+    pruned = back.filter(back.k == "x")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "(k" in plan, plan
+    assert pruned.count() == 2
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    from big_data_processing_spark.sources.files import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello", [1.0, 2.0]), (2, "world", [3.0])],
+        "id long, text string, vec array<double>",
+    )
+    path = os.path.join(str(tmp_path), "t.jsonl")
+    write_jsonl(df, path, target_partitions=1)
+    back = read_jsonl(spark, path, schema=df.schema)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].text == "hello" and rows[1].vec == [1.0, 2.0]
+    assert rows[2].vec == [3.0]
