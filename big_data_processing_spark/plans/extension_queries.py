@@ -1253,6 +1253,85 @@ def q_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_quarantine_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM d WHERE doc_id % 5 <> 3 GROUP BY lang
+    UNION ALL
+    SELECT '__quarantined__' AS lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS sum_chars
+    FROM d WHERE doc_id % 5 = 3
+    ORDER BY lang
+    """,
+    doc="Corrupt-record quarantine on JSONL ingest, value-checked: a "
+    "document slice is serialized to JSON-lines (to_json, JVM-side) "
+    "with every doc_id % 5 == 3 line deliberately MALFORMED "
+    "(unclosed object), read back through the PERMISSIVE reader "
+    "(sources/files.py read_jsonl_quarantine — raw line lands in "
+    "_corrupt, data columns NULL), and split into per-lang clean "
+    "stats plus a __quarantined__ row counting the rejects. A "
+    "malformed record must never fail a 100 TB ingest; this pins "
+    "that the failure isolation ALSO loses no rows — clean + "
+    "quarantined reconciles exactly with the oracle's partition of "
+    "the same slice",
+)
+def q_jsonl_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from big_data_processing_spark.sources.files import (
+        read_jsonl_quarantine,
+    )
+    from big_data_processing_spark.sources.maintenance import scratch_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+    )
+    line = F.when(
+        F.col("doc_id") % 5 == 3,
+        F.concat(F.lit('{"broken": '), F.col("doc_id").cast("string")),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+    work = scratch_dir("jsonl_q", sf_dir)
+    docs.select(line.alias("value")).write.mode("overwrite").text(
+        f"{work}/raw"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    # Spark disallows queries whose referenced columns are ONLY the
+    # corrupt column over a raw JSON source (the quarantine count
+    # below is exactly that); materializing severs the file-source
+    # lineage, which is the documented workaround — and the slice is
+    # 500 rows
+    parsed = read_jsonl_quarantine(
+        spark, f"{work}/raw", schema
+    ).localCheckpoint(eager=True)
+    good = (
+        parsed.filter(F.col("_corrupt").isNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    bad = parsed.filter(F.col("_corrupt").isNotNull()).agg(
+        F.lit("__quarantined__").alias("lang"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("long").alias("sum_chars"),
+    )
+    return good.unionByName(bad).orderBy("lang")
+
+
+@register(
     "events_props_stats",
     """
     SELECT event_type,

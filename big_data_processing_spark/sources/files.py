@@ -130,6 +130,34 @@ def write_jsonl(
     df.write.mode(mode).json(path)
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines scan with per-row corruption quarantine: rows that
+    fail to parse against ``schema`` arrive with their raw line in
+    ``_corrupt`` and NULL data columns instead of killing the scan —
+    a malformed record must never fail a 100 TB ingest (the text
+    sibling of the media kernels' ``decode_ok = False`` contract).
+    Filter ``_corrupt IS NULL`` for the clean frame and
+    ``IS NOT NULL`` for the quarantine sink.
+
+    Spark caveat encoded here: the corrupt-record column must be
+    ADDED to the user schema, and (per the JSON datasource contract)
+    a query may not select ONLY the corrupt column — callers keep at
+    least one data column in scope, which both returned shapes do."""
+    # copy, don't .add(): StructType.add mutates the caller's schema
+    full = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+
+
 def create_table(
     spark: SparkSession,
     name: str,

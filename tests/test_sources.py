@@ -348,3 +348,40 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     rows = {r.id: r for r in back.collect()}
     assert rows[1].text == "hello" and rows[1].vec == [1.0, 2.0]
     assert rows[2].vec == [3.0]
+
+
+def test_read_jsonl_quarantine_isolates_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from big_data_processing_spark.sources.files import (
+        read_jsonl_quarantine,
+    )
+
+    path = os.path.join(str(tmp_path), "q.jsonl")
+    lines = [
+        '{"id": 1, "s": "ok"}',
+        '{"id": 2, "s": "also ok"}',
+        '{"id": 3, "s": ',          # malformed: truncated
+        'not json at all',          # malformed: not JSON
+        '{"id": "five", "s": "x"}',  # type mismatch -> quarantined too
+    ]
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    out = read_jsonl_quarantine(spark, path, schema).localCheckpoint(
+        eager=True
+    )
+    good = out.filter(out._corrupt.isNull())
+    bad = out.filter(out._corrupt.isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 3
+    # the raw line is preserved verbatim for a quarantine sink
+    assert "not json at all" in {r._corrupt for r in bad.collect()}
+    # the caller's schema object is not mutated
+    assert len(schema.fields) == 2
