@@ -158,6 +158,28 @@ def read_jsonl_quarantine(
     )
 
 
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with the same per-row corruption quarantine contract
+    as :func:`read_jsonl_quarantine`: rows that fail to parse against
+    ``schema`` (wrong arity, uncastable values) arrive with the raw
+    line in ``_corrupt`` and NULL data columns. Same Spark caveat:
+    never select ONLY the corrupt column from the raw source."""
+    full = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+
+
 def create_table(
     spark: SparkSession,
     name: str,

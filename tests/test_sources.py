@@ -385,3 +385,31 @@ def test_read_jsonl_quarantine_isolates_corrupt_rows(spark, tmp_path):
     assert "not json at all" in {r._corrupt for r in bad.collect()}
     # the caller's schema object is not mutated
     assert len(schema.fields) == 2
+
+
+def test_read_csv_quarantine_isolates_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from big_data_processing_spark.sources.files import (
+        read_csv_quarantine,
+    )
+
+    path = os.path.join(str(tmp_path), "q.csv")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.csv"), "w") as fh:
+        fh.write("id,v\n1,2.5\nnot_a_number,oops\n3,4.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    out = read_csv_quarantine(spark, path, schema).localCheckpoint(
+        eager=True
+    )
+    good = out.filter(out._corrupt.isNull())
+    bad = out.filter(out._corrupt.isNotNull())
+    assert sorted((r.id, r.v) for r in good.collect()) == [
+        (1, 2.5), (3, 4.5),
+    ]
+    assert [r._corrupt for r in bad.collect()] == ["not_a_number,oops"]
