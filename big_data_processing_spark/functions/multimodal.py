@@ -803,7 +803,7 @@ def make_ppm(
 
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, n_samples int, "
-    "mean_amp double, rms double, peak int"
+    "mean_amp double, rms double, peak double"
 )
 
 
@@ -962,7 +962,14 @@ def extract_audio_features_real(df: DataFrame, content_col: str = "content"):
     row, with per-row failure isolation (a corrupt blob nulls its
     row, never kills the batch). Bytes stay executor-side; the
     shuffle (if any, downstream) carries only the scalar features —
-    the 100 TB posture for media columns."""
+    the 100 TB posture for media columns.
+
+    Accumulation dtype branches on the decoded stream: integer PCM
+    (uint8/int16/int32) accumulates in int64 then converts the three
+    stats to float; IEEE-float streams (format tag 3, samples in
+    [-1, 1)) accumulate in float64 — an ``astype(int64)`` there
+    would truncate every sample to 0/-1 and report near-silent
+    mean/rms/peak with decode_ok=True (silently wrong)."""
     import numpy as np
     import pandas as pd  # noqa: F401
 
@@ -970,13 +977,20 @@ def extract_audio_features_real(df: DataFrame, content_col: str = "content"):
         def one(row):
             try:
                 rate, v = decode_wav(row)
-                a = v.astype(np.int64)
+                acc = (
+                    np.float64
+                    if np.issubdtype(v.dtype, np.floating)
+                    else np.int64
+                )
+                a = v.astype(acc)
                 return (
                     int(rate),
                     int(a.size),
                     float(a.sum()) / a.size if a.size else 0.0,
-                    float(np.sqrt((a * a).sum() / a.size)) if a.size else 0.0,
-                    int(np.abs(a).max()) if a.size else 0,
+                    float(np.sqrt(float((a * a).sum()) / a.size))
+                    if a.size
+                    else 0.0,
+                    float(np.abs(a).max()) if a.size else 0.0,
                 )
             except (ValueError, NotImplementedError):
                 return None

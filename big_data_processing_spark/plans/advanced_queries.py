@@ -1098,7 +1098,8 @@ def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS total_value
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS total_value
     FROM s JOIN customer ON k = c_custkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -1127,11 +1128,15 @@ def q_skewed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"), "c_mktsegment"
     )
     joined = salted_join(events, cust, "k", salt=8, how="inner")
+    # fixed-point dsum, not round(sum(double)): the planted hot key
+    # concentrates ~20% of the corpus's mass in one group, which
+    # maximizes cross-engine accumulation-order error — the exact
+    # pattern that diverged at sf1 before dsum (r7 ADVICE)
     return (
         joined.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1146,7 +1151,8 @@ def q_skewed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT k, CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS total_value
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS total_value
     FROM s GROUP BY k ORDER BY k
     """,
     doc="SKEWED-KEY aggregation over the same planted ~20%-mass hot "
@@ -1167,11 +1173,13 @@ def q_skewed_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k"),
         "value",
     )
+    # fixed-point dsum here too (r7 ADVICE): the hot group's mass is
+    # exactly where round(sum(double), 6) goes flaky at scale
     return (
         events.groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .orderBy("k")
     )
@@ -1203,11 +1211,12 @@ def q_skewed_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the Spark side matches DSUM_SQL exactly — r6 ADVICE flagged "
     "the earlier inline round/decimal recipe as engine-dependent "
     "at half boundaries. The bucketed copies are written ONCE per "
-    "(process, sf_dir) into a deterministic temp path and the "
-    "catalog names carry an sf-derived suffix, so repeated bench "
-    "runs reuse the write and concurrent sessions on different "
-    "sf_dirs never collide (r6 ADVICE: the old per-invocation "
-    "mkdtemp accumulated full orders/customer copies)",
+    "(process, sf_dir) into a per-uid, per-pid temp path and the "
+    "catalog names carry an sf+pid suffix, so repeated calls in a "
+    "session reuse the write, concurrent sessions on the same or "
+    "different sf_dirs never collide, and a second process can "
+    "never overwrite files this session's catalog still points at "
+    "(r6+r7 ADVICE)",
 )
 def q_bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_tbl, c_tbl = _bucketed_segments_tables(spark, sf_dir)
@@ -1238,17 +1247,35 @@ def _bucketed_segments_tables(
     name keeps two sessions on different sf_dirs from colliding on
     one metastore."""
     cached = _BUCKETED_SEGMENTS_CACHE.get(sf_dir)
-    if cached is not None and spark.catalog.tableExists(cached[0]):
+    # validate BOTH tables: a half-dropped catalog (orders present,
+    # customer gone) must rebuild, not return a stale tuple (r7
+    # ADVICE)
+    if cached is not None and all(
+        spark.catalog.tableExists(t) for t in cached
+    ):
         return cached
 
     import hashlib
+    import os
     import tempfile
 
     from big_data_processing_spark.sources.files import write_bucketed
 
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = f"{tempfile.gettempdir()}/bkt_join_{token}"
-    o_tbl, c_tbl = f"bkt_orders_{token}", f"bkt_customer_{token}"
+    # per-process path + pid-suffixed catalog names: a second
+    # process on the same box and sf_dir must not overwrite these
+    # bucketed files in place while this session's catalog tables
+    # still point at them (r7 ADVICE). Within one process the path
+    # is deterministic, so the write still happens once and re-runs
+    # overwrite rather than accumulate; cross-run leftovers are
+    # bounded (one copy per dead pid) and land under the same
+    # per-uid scratch parent the streaming queries use.
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    parent = os.path.join(tempfile.gettempdir(), f"bdps_scratch_u{uid}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    work = os.path.join(parent, f"bkt_join_{token}_p{os.getpid()}")
+    suffix = f"{token}_p{os.getpid()}"
+    o_tbl, c_tbl = f"bkt_orders_{suffix}", f"bkt_customer_{suffix}"
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_custkey", "o_totalprice"

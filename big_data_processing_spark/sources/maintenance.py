@@ -84,23 +84,59 @@ def append_new_by_key(
 
 
 def scratch_dir(prefix: str, key: str) -> str:
-    """Deterministic per-(prefix, key) scratch path, WIPED on every
-    call. The parity queries and bucketed-join write sizeable
-    intermediate copies (re-chunked events, streaming state); a
-    fresh ``mkdtemp`` per invocation accumulated them across bench /
-    driver runs (r6 ADVICE). A deterministic path keyed on the
-    corpus dir overwrites in place instead — and wiping at START
-    (not at return) keeps the produced frames readable by the
-    caller while also clearing stale streaming checkpoints that
-    would otherwise make a restarted file stream skip its input."""
+    """Deterministic per-(prefix, key, process) scratch path, WIPED
+    on every call. The parity queries and bucketed-join write
+    sizeable intermediate copies (re-chunked events, streaming
+    state); a fresh ``mkdtemp`` per invocation accumulated them
+    across bench / driver runs (r6 ADVICE), while a world-shared
+    fixed /tmp name let two concurrent sessions destroy each other's
+    live intermediates and was a tmp-squatting hazard (r7 ADVICE).
+
+    Layout now: ``$TMPDIR/bdps_scratch_u{uid}/`` (0700, ownership
+    verified, symlinks rejected) holding
+    ``{prefix}_{md5(key)[:8]}_p{pid}``. The pid suffix isolates
+    concurrent same-user sessions; stale sibling dirs for the same
+    (prefix, key) whose owning process is dead are reaped on each
+    call, so repeated bench/driver runs still overwrite-in-place
+    rather than accumulate. Within ONE process the path is
+    deterministic, so the wipe-at-start contract (clear stale
+    streaming checkpoints, keep produced frames readable after
+    return) is unchanged."""
     import hashlib
+    import os
+    import re
     import shutil
+    import stat
     import tempfile
 
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    parent = os.path.join(tempfile.gettempdir(), f"bdps_scratch_u{uid}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    st = os.lstat(parent)
+    if stat.S_ISLNK(st.st_mode) or not stat.S_ISDIR(st.st_mode) or (
+        hasattr(os, "getuid") and st.st_uid != uid
+    ):
+        raise RuntimeError(
+            f"scratch parent {parent!r} exists but is not a directory "
+            "owned by this user — refusing to reuse (tmp squatting)"
+        )
     token = hashlib.md5(key.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/{prefix}_{token}"
+    # reap siblings for the same (prefix, key) left by DEAD processes
+    # only — a live concurrent session's dir is never touched
+    pat = re.compile(re.escape(f"{prefix}_{token}_p") + r"(\d+)$")
+    for name in os.listdir(parent):
+        m = pat.match(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # 0-signal: liveness probe
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        except PermissionError:
+            # pid exists but belongs to another user — our process
+            # with that pid is dead (pid recycled), dir is stale
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    path = os.path.join(parent, f"{prefix}_{token}_p{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
-    import os
-
     os.makedirs(path, exist_ok=True)
     return path

@@ -515,3 +515,45 @@ def test_netpbm_wide_and_bmp_palette_roundtrip():
     rle[30:34] = struct.pack("<I", 1)  # biCompression = BI_RLE8
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(rle))
+
+
+def test_extract_audio_features_real_float_and_int(spark):
+    """Float WAVs (format tag 3) must accumulate in float64 — the old
+    astype(int64) truncated every [-1,1) sample to 0/-1 and reported
+    near-silence with decode_ok=True (ADVICE r7, medium)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_wav,
+        extract_audio_features_real,
+        make_wav,
+    )
+
+    f32 = make_wav(64, seed=5, bits=32, audio_format=3)
+    i16 = make_wav(64, seed=5)
+    rows = [
+        Row(media_id=1, content=bytearray(f32)),
+        Row(media_id=2, content=bytearray(i16)),
+        Row(media_id=3, content=bytearray(b"RIFFgarbage")),
+    ]
+    out = {
+        r.media_id: r
+        for r in extract_audio_features_real(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert out[1].decode_ok and out[2].decode_ok and not out[3].decode_ok
+    # local reference computation, float64 accumulation
+    _, v = decode_wav(f32)
+    a = v.astype(np.float64)
+    assert abs(out[1].rms - float(np.sqrt((a * a).sum() / a.size))) < 1e-12
+    assert abs(out[1].peak - float(np.abs(a).max())) < 1e-12
+    # the truncation bug made rms ~<=1.0; real float stream rms is ~0.57
+    # of full scale and must NOT be near zero
+    assert out[1].rms > 0.1
+    # integer path unchanged (int64 accumulation, exact)
+    _, w = decode_wav(i16)
+    b = w.astype(np.int64)
+    assert out[2].peak == float(np.abs(b).max())
+    assert abs(out[2].rms - float(np.sqrt(float((b * b).sum()) / b.size))) < 1e-9

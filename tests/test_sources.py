@@ -281,11 +281,13 @@ def test_compact_parquet_ceiling_formula():
 
 
 def test_scratch_dir_deterministic_and_wiped():
-    """scratch_dir contract (r6 ADVICE: mkdtemp accumulation): the
-    path is a pure function of (prefix, key) — re-invocation reuses
-    the SAME path instead of growing /tmp — and each call starts
-    from an EMPTY dir, so stale streaming checkpoints from a prior
-    run can never make a restarted file stream skip its input."""
+    """scratch_dir contract (r6 ADVICE: mkdtemp accumulation; r7
+    ADVICE: cross-process isolation): within one process the path is
+    a pure function of (prefix, key) — re-invocation reuses the SAME
+    path instead of growing /tmp — each call starts from an EMPTY
+    dir, the path lives under a 0700 per-uid parent with a per-pid
+    suffix (concurrent same-user sessions never share), and stale
+    dirs left by dead processes are reaped."""
     import os
 
     from big_data_processing_spark.sources.maintenance import (
@@ -301,10 +303,26 @@ def test_scratch_dir_deterministic_and_wiped():
     # distinct keys (two sessions on different corpora) never share
     c = scratch_dir("sgtest", "/other/sf_dir")
     assert c != a
+    # per-process isolation + 0700 per-uid parent (tmp squatting fix)
+    assert a.endswith(f"_p{os.getpid()}")
+    parent = os.path.dirname(a)
+    assert os.path.basename(parent) == f"bdps_scratch_u{os.getuid()}"
+    st = os.stat(parent)
+    assert st.st_uid == os.getuid()
+    # a dead process's dir for the same (prefix, key) is reaped;
+    # pid 1 (init, alive, not ours) is left alone
+    dead = a[: -len(str(os.getpid()))] + "4194000"  # > pid_max default
+    os.makedirs(dead, exist_ok=True)
+    alive_other = a[: -len(str(os.getpid()))] + "1"
+    os.makedirs(alive_other, exist_ok=True)
+    scratch_dir("sgtest", "/some/sf_dir")
+    assert not os.path.exists(dead)
+    assert os.path.exists(alive_other)  # live process's dir untouched
     import shutil
 
     shutil.rmtree(a, ignore_errors=True)
     shutil.rmtree(c, ignore_errors=True)
+    shutil.rmtree(alive_other, ignore_errors=True)
 
 
 def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
