@@ -175,7 +175,19 @@ def minhash_near_duplicates(
     Unlike localCheckpoint (which erases partitioning AND statistics
     and measured 5× slower here), persist keeps the optimized plan +
     stats. Caller owns cleanup: caches are LRU-evicted or dropped by
-    ``spark.catalog.clearCache()``."""
+    ``spark.catalog.clearCache()``.
+
+    Scaling note (the 30× sf0.1→sf1 bench slope, SCALE.md): the
+    superlinear number is OUTPUT-driven, not plan-driven — the sf1
+    corpus contains ~250k true near-dup pairs vs ~250 at sf0.1
+    (each doc's near-dup family grows with corpus size), so the
+    candidate set, the verification joins, and the result itself
+    grow ~1000× while the input grows 10×. The pairs are pinned by
+    the hash-green md5 twin (``minhash_near_duplicates_md5``;
+    sf1 gate: 249,490 twin pairs value-checked, fast path re-finds
+    99.77% — ``minhash_fastpath_audit``). On a corpus whose dup
+    rate is constant in corpus size, this path is linear in input
+    plus output."""
     from pyspark import StorageLevel
 
     rows = num_perm // bands
@@ -332,6 +344,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity for all pairs sharing a
     blocking key (e.g. language + length bucket). Returns
@@ -351,7 +364,20 @@ def ngram_jaccard_pairs(
     ubiquitous grams is missed — precisely the pairs whose shared
     evidence is least discriminative (the stop-word-dropping
     standard from the similarity-join literature). ``max_df=None``
-    (default) is fully exact."""
+    (default) is fully exact — and soft-guarded: past ~2 GiB of
+    input (≈ sf2 here; measured 77-133× slope per 10× data,
+    SCALE.md) a RuntimeWarning points at the ``max_df`` valve;
+    ``allow_quadratic=True`` acknowledges the cost
+    (partitioning.warn_if_quadratic)."""
+    if max_df is None:
+        from big_data_processing_spark.partitioning import (
+            warn_if_quadratic,
+        )
+
+        warn_if_quadratic(
+            df, "ngram_jaccard_pairs(max_df=None)",
+            allow_quadratic=allow_quadratic,
+        )
     base = (
         _spread(
             df.select(

@@ -52,6 +52,7 @@ def kmeans_assign(
     iters: int = 2,
     sim_digits: int = 8,
     centroid_digits: int = 6,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd k-means under cosine similarity.
 
@@ -63,8 +64,21 @@ def kmeans_assign(
 
     Returns (id_col, cluster, cos) — the assignment after ``iters``
     assignment steps, i.e. ``iters - 1`` centroid updates.
+
+    This flat Lloyd is the EXACT baseline (every vector scores
+    against every centroid each iteration — k×n fold-dots plus a
+    full per-dimension shuffle per update; measured 22× per 10×
+    data in-suite, SCALE.md). The scale path is
+    ``kmeans_assign_twolevel`` (coarse cells prune the candidate
+    centroids). Past ~2 GiB of input a RuntimeWarning says so;
+    ``allow_quadratic=True`` acknowledges the cost.
     """
     from big_data_processing_spark.functions.similarity import _dot
+    from big_data_processing_spark.partitioning import warn_if_quadratic
+
+    warn_if_quadratic(
+        emb, "kmeans_assign (flat Lloyd)", allow_quadratic=allow_quadratic
+    )
 
     # Precompute each side's norm ONCE: scoring then costs a single
     # fold-dot per (vector, centroid) pair instead of three —

@@ -202,6 +202,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     ndigits: int = 8,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking keys:
     all (id_a < id_b) pairs sharing ``block_cols`` whose cosine
@@ -211,7 +212,20 @@ def cosine_near_dup_pairs(
     from going quadratic over the corpus — the standard shape for
     embedding-based dedup of a training set. For unblocked corpora,
     feed ``hyperplane_signature`` buckets as the block column.
+
+    Within-block pairs still grow with the SQUARE of block size
+    (measured 38-41× per 10× data when blocks scale with the
+    corpus, SCALE.md) — this exact path is the value-checked
+    baseline; the scale paths are ``cosine_near_dup_pairs_ivf`` /
+    ``_lsh``. Past ~2 GiB of input a RuntimeWarning says so;
+    ``allow_quadratic=True`` acknowledges the cost
+    (partitioning.warn_if_quadratic).
     """
+    from big_data_processing_spark.partitioning import warn_if_quadratic
+
+    warn_if_quadratic(
+        df, "cosine_near_dup_pairs", allow_quadratic=allow_quadratic
+    )
     base = df.select(*block_cols, F.col(id_col), F.col(vec_col))
     # Candidates from (block, id) only — vectors stay out of the
     # block self-join; the explicit spread parallelizes the per-pair

@@ -29,3 +29,59 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *cols)
+
+
+def warn_if_quadratic(
+    df: DataFrame,
+    what: str,
+    ceiling_bytes: int = 2 << 30,
+    allow_quadratic: bool = False,
+) -> None:
+    """Soft scale guard for the EXACT quadratic baselines (r7
+    verdict #4): the uncapped/unblocked exact paths
+    (``ngram_jaccard_pairs`` with ``max_df=None``,
+    ``cosine_near_dup_pairs``, flat ``kmeans_assign``) are kept as
+    value-checked ground truth beside their scale valves
+    (df-capped / IVF-celled / two-level), but nothing stopped a
+    caller from pointing the quadratic baseline at a 100 TB corpus.
+    This mirrors ``dsum``'s overflow-note pattern — document the
+    ceiling where the caller meets it, and make it impossible to
+    cross silently.
+
+    Emits one ``RuntimeWarning`` when the input's Catalyst size
+    estimate exceeds ``ceiling_bytes`` (default 2 GiB ≈ sf2 of this
+    corpus family — past measured slopes of 40-130x per 10x data,
+    the exact baselines stop finishing in bench-scale time well
+    before that). ``allow_quadratic=True`` acknowledges the cost and
+    silences the warning. The estimate is driver-side plan metadata
+    (file sizes for scans) — no job is launched, so the guard is
+    free at any scale and never fails the caller (stats may be
+    unavailable for some plans)."""
+    if allow_quadratic:
+        return
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return
+    # Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue
+    # by default) when it has NO estimate for a plan — that's
+    # "unknown", not "huge"; warning on it would fire for every
+    # in-memory test relation
+    if size >= 1 << 62:
+        return
+    if size > ceiling_bytes:
+        import warnings
+
+        warnings.warn(
+            f"{what}: input size estimate {size >> 20} MiB exceeds the "
+            f"{ceiling_bytes >> 20} MiB ceiling documented for this "
+            "EXACT quadratic baseline — candidate work grows with the "
+            "square of block size (measured 40-130x per 10x data; "
+            "SCALE.md 'Measured scaling slopes'). Use the scale path "
+            "(max_df cap / IVF cells / two-level k-means), or pass "
+            "allow_quadratic=True to acknowledge the cost.",
+            RuntimeWarning,
+            stacklevel=3,
+        )

@@ -121,13 +121,26 @@ def write_jsonl(
     path: str,
     mode: str = "overwrite",
     target_partitions: int | None = None,
+    compression: str | None = None,
 ) -> None:
     """JSON-lines sink — the interchange format most text-corpus
     tooling consumes. Lossy for binary columns (base64 via explicit
-    cast is the caller's choice); keep media in parquet/ORC."""
+    cast is the caller's choice); keep media in parquet/ORC.
+
+    ``compression``: any Spark text codec ("gzip", "bzip2", "lz4",
+    "snappy", "deflate", "zstd"). Real corpora ship as ``.jsonl.gz``
+    / ``.jsonl.zst``; the matching read path needs NO option —
+    Spark's text sources dispatch on the file extension. Codec
+    choice is a split-ability decision at 100 TB: gzip files are
+    NOT splittable (one task per file — size files toward one
+    task's appetite at write time), bzip2 and zstd-with-seekable
+    frames are."""
     if target_partitions is not None:
         df = df.coalesce(target_partitions)
-    df.write.mode(mode).json(path)
+    writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
 
 
 def read_jsonl_quarantine(

@@ -336,3 +336,41 @@ def test_md5_signatures_per_row_matches_vocab_groupby(spark):
     assert fast == ref
     # the length(nrm) >= n pre-filter drops exactly the no-shingle docs
     assert set(fast) == {1, 2, 3}
+
+
+def test_quadratic_guard_warns_past_ceiling(spark):
+    """warn_if_quadratic (r7 verdict #4): the exact quadratic
+    baselines warn once the Catalyst size estimate crosses the
+    ceiling, stay silent under it or when the caller acknowledges
+    the cost, and never launch a job to decide."""
+    import warnings
+
+    from big_data_processing_spark.partitioning import warn_if_quadratic
+
+    df = spark.createDataFrame(
+        [(i, "hello world " * 3) for i in range(50)], "id long, text string"
+    )
+    scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        warn_if_quadratic(scan, "t", ceiling_bytes=1 << 40)
+        warn_if_quadratic(scan, "t", ceiling_bytes=1, allow_quadratic=True)
+        # in-memory relation: Catalyst has NO size estimate (the
+        # Long.MaxValue sentinel) — must be read as unknown, never huge
+        warn_if_quadratic(df, "t", ceiling_bytes=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        warn_if_quadratic(scan, "t", ceiling_bytes=1)
+        assert len(w) == 1 and issubclass(w[0].category, RuntimeWarning)
+        assert "quadratic" in str(w[0].message)
+    # the wired call sites accept and forward the kwarg
+    from big_data_processing_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ngram_jaccard_pairs(
+            df.withColumn("b", F.lit(1)), "text", "id", ["b"],
+            allow_quadratic=True,
+        ).collect()
