@@ -17,6 +17,13 @@ single designated "timed" pass tracks JIT/GC luck, not the query.
 Set SPARK_GRAFT_BENCH_WARMUP=<int> for a fixed UNTIMED pass count
 (0 = true cold) with one timed pass; the JSON reports which mode
 ran.
+
+Before ANY timing, a JIT pre-warm micro-runs the streaming-parity
+and checkpoint machinery at SPARK_GRAFT_WARM_DIR (default
+/root/testdata/sf0.001; set empty to disable) — the r7 snapshot
+spread (152-180 s over six idle runs) traced to WHERE in the run
+those paths first compiled, not to the queries (SCALE.md "snapshot
+policy").
 """
 
 from __future__ import annotations
@@ -84,6 +91,36 @@ def main() -> None:
         doc_near_dup_clusters,
         pinned_rdd_ids,
     )
+
+    # JIT pre-warm (r7 verdict #7): the ±8% run-to-run spread sat on
+    # the checkpoint-heavy iterative and streaming-parity entries —
+    # their first execution in a fresh JVM compiles the micro-batch
+    # engine, state store, Python runner and localCheckpoint block
+    # paths, and WHICH timed pass pays that varies per session. One
+    # micro-run of each machinery family at the smallest sf
+    # (seconds of work) moves the compilation BEFORE any timing, so
+    # every timed entry — including the deliberately-cold
+    # doc_cluster_build — starts from the same JIT state.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
+    )
+    if warm_dir and os.path.isdir(warm_dir):
+        t0 = time.perf_counter()
+        for warm_q in ("stateful_sessions_parity", "streaming_join_parity"):
+            try:
+                force(SPECS[warm_q].fn(spark, warm_dir))
+            except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+                print(f"bench: pre-warm {warm_q} failed: {e}",
+                      file=sys.stderr)
+        try:
+            doc_near_dup_clusters(spark, warm_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: pre-warm doc_clusters failed: {e}",
+                  file=sys.stderr)
+        hygiene()  # timing starts from a clean storage/GC state
+        print(f"bench: jit pre-warm "
+              f"{round(time.perf_counter() - t0, 3)}s at {warm_dir}",
+              file=sys.stderr)
 
     t0 = time.perf_counter()
     doc_near_dup_clusters(spark, sf_dir)  # eager checkpoint: materializes

@@ -10,7 +10,11 @@ inflate + numpy scanline unfilter — no codec library), raising
 ``NotImplementedError`` only for formats whose codecs this
 container lacks (JPEG/WebP); ``decode_image_stub`` remains the
 byte-statistics fake for exercising the plumbing on arbitrary
-bytes. Swapping kernels does not change any plan.
+bytes. Swapping kernels does not change any plan. Audio decodes the
+whole uncompressed RIFF/WAVE family (``decode_wav``) and video the
+uncompressed RIFF/AVI DIB family (``decode_avi``) with the same
+chunk-walker discipline — compressed codecs (ADPCM/MP3, MJPG/H264)
+stay honest ``NotImplementedError``\\ s.
 
 Scale notes
 -----------
@@ -97,10 +101,12 @@ def extract_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000
 ) -> DataFrame:
-    """Frame-sampling plan for video rows: one output row per
-    sampled timestamp (the decode itself is the stubbed kernel's
-    job). Demonstrates the explode-then-process shape that keeps
-    per-frame work distributed."""
+    """Frame-sampling PLAN for video rows keyed by container
+    metadata: one output row per sampled timestamp, decode left to
+    a downstream kernel. Kept for containers this runtime cannot
+    decode (MP4/H264); for uncompressed RIFF/AVI the decode is now
+    REAL — use :func:`sample_video_frames_real`
+    (value-checked by the video_frame_features query)."""
     frames = df.filter(F.col("kind") == "video").select(
         "media_id",
         "content",
@@ -1014,4 +1020,225 @@ def extract_audio_features_real(df: DataFrame, content_col: str = "content"):
 
     return df.mapInPandas(
         kernel, schema=AUDIO_FEATURES_SCHEMA + ", decode_ok boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: real RIFF/AVI decode with uncompressed DIB frames
+# ---------------------------------------------------------------------------
+
+
+def decode_avi(content: bytes):
+    """REAL RIFF/AVI decode for the uncompressed-DIB family — the
+    same chunk-walker discipline as :func:`decode_wav` (chunks in
+    any order, unknown chunks skipped, word alignment respected,
+    declared sizes validated against the buffer), pure numpy.
+
+    Supports 'vids' streams whose frames are stored as '##db' /
+    '##dc' chunks of BI_RGB 24-bit bottom-up DIB rows (the
+    uncompressed layout :func:`decode_bmp` reads, minus the file
+    header). Returns (fps, frames) with frames an
+    (n_frames, h, w, 3) uint8 RGB array. Raises ValueError on
+    malformed RIFF and NotImplementedError for compressed fourccs
+    (MJPG/H264/… — codec libs absent from the runtime, same honesty
+    contract as the image/audio paths)."""
+    import struct
+
+    import numpy as np
+
+    if (
+        len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"AVI "
+    ):
+        raise ValueError("not a RIFF/AVI stream")
+
+    def walk(buf: bytes, pos: int, end: int):
+        """Yield (fourcc, body_start, body_size) validating bounds."""
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            if pos + 8 + size > end:
+                raise ValueError(
+                    f"chunk {cid!r} declares {size} bytes but only "
+                    f"{end - pos - 8} remain"
+                )
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)  # word-aligned
+
+    width = height = None
+    bpp = compression = None
+    usec_per_frame = None
+    frames_raw: list[bytes] = []
+
+    def scan_list(start: int, size: int) -> None:
+        nonlocal width, height, bpp, compression, usec_per_frame
+        subtype = content[start : start + 4]
+        for cid, bstart, bsize in walk(content, start + 4, start + size):
+            body = content[bstart : bstart + bsize]
+            if cid == b"LIST":
+                scan_list(bstart, bsize)
+            elif cid == b"avih":
+                if bsize < 40:
+                    raise ValueError("avih chunk too short")
+                usec_per_frame = struct.unpack_from("<I", body, 0)[0]
+            elif cid == b"strf" and width is None:
+                # BITMAPINFOHEADER of the first video stream
+                if bsize < 40:
+                    raise ValueError("strf chunk too short")
+                width, height = struct.unpack_from("<ii", body, 4)
+                bpp = struct.unpack_from("<H", body, 14)[0]
+                compression = struct.unpack_from("<I", body, 16)[0]
+            elif (
+                subtype == b"movi"
+                and len(cid) == 4
+                and cid[2:4] in (b"db", b"dc")
+            ):
+                frames_raw.append(body)
+
+    for cid, bstart, bsize in walk(content, 12, len(content)):
+        if cid == b"LIST":
+            scan_list(bstart, bsize)
+    if width is None or not frames_raw:
+        raise ValueError("missing video stream header or frames")
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"compressed AVI stream (biCompression={compression}, "
+            f"{bpp}-bit) needs a codec library"
+        )
+    h = abs(int(height))
+    w = int(width)
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames_raw):
+        if len(fb) != stride * h:
+            raise ValueError(
+                f"frame {i}: {len(fb)} bytes, expected {stride * h}"
+            )
+        rows = np.frombuffer(fb, dtype=np.uint8).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(h, w, 3)
+        if height > 0:  # bottom-up -> top-down
+            px = px[::-1]
+        out[i] = px[:, :, ::-1]  # BGR -> RGB
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return fps, out
+
+
+def make_avi(
+    w: int, h: int, n_frames: int, seed: int, fps: int = 10
+) -> bytes:
+    """Deterministic synthetic uncompressed AVI (fixture/demo
+    generator): RGB pixel of frame f at (x, y, c) =
+    (seed + 3x + 7y + 11c + 13f) mod 256 — :func:`make_bmp`'s raster
+    arithmetic with a per-frame term, stored as bottom-up BGR DIB
+    '00db' chunks so :func:`decode_avi`'s stride/flip/channel-swap
+    paths are all exercised."""
+    import struct
+
+    import numpy as np
+
+    y, x, c = np.mgrid[0:h, 0:w, 0:3]
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    frames = []
+    for f in range(n_frames):
+        rgb = ((seed + 3 * x + 7 * y + 11 * c + 13 * f) % 256).astype(
+            np.uint8
+        )
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)
+        frames.append(chunk(b"00db", rows[::-1].tobytes()))
+
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            1_000_000 // fps, 0, 0, 0, n_frames, 0, 1,
+            stride * h, w, h, 0, 0, 0, 0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+            stride * h, 0, 0, 0
+        ),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def sample_video_frames_real(
+    df: DataFrame,
+    content_col: str = "content",
+    every_n: int = 2,
+) -> DataFrame:
+    """Real frame sampling over decoded AVI video: every
+    ``every_n``-th frame of each row's container is decoded
+    (:func:`decode_avi`) and reduced to per-frame scalar features
+    (mean pixel, checksum) — one output row per sampled frame, with
+    per-row failure isolation. Retires the explode-shaped stub
+    (:func:`sample_video_frames`): the Spark plumbing is the same
+    (mapInPandas, media bytes never shuffle, only (id, frame,
+    scalars) leave the executor), but the decode is now real."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, nf, means, sums, oks = [], [], [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf[content_col]):
+                try:
+                    _fps, frames = decode_avi(bytes(blob))
+                    for f in range(0, frames.shape[0], every_n):
+                        a = frames[f].astype(np.int64)
+                        ids.append(mid)
+                        fidx.append(f)
+                        nf.append(frames.shape[0])
+                        means.append(float(a.mean()))
+                        sums.append(int(a.sum()))
+                        oks.append(True)
+                except (ValueError, NotImplementedError, TypeError):
+                    ids.append(mid)
+                    fidx.append(-1)
+                    nf.append(0)
+                    means.append(0.0)
+                    sums.append(0)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame": fidx,
+                    "n_frames": nf,
+                    "mean_pixel": means,
+                    "checksum": sums,
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.select("media_id", content_col).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, frame int, n_frames int, "
+            "mean_pixel double, checksum long, decode_ok boolean"
+        ),
     )

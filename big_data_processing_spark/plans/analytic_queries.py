@@ -1128,3 +1128,95 @@ def q_stateful_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 6).alias("total_value"),
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "video_frame_features",
+    """
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < 48
+    ), m AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+             4 + doc_id % 3 AS nf
+      FROM ids
+    ), f AS (
+      SELECT m.doc_id, m.w, m.h, m.nf, fr.range AS frame
+      FROM m, range(0, 6) fr
+      WHERE fr.range < m.nf AND fr.range % 2 = 0
+    ), px AS (
+      SELECT f.doc_id, f.frame, f.nf,
+             (f.doc_id + 3 * xs.range + 7 * ys.range
+              + 11 * cs.range + 13 * f.frame) % 256 AS v
+      FROM f, range(0, 12) xs, range(0, 8) ys, range(0, 3) cs
+      WHERE xs.range < f.w AND ys.range < f.h
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame AS INT) AS frame,
+           CAST(max(nf) AS INT) AS n_frames,
+           round(avg(v), 6) AS mean_pixel,
+           CAST(sum(v) AS BIGINT) AS checksum,
+           TRUE AS decode_ok
+    FROM px GROUP BY doc_id, frame
+    ORDER BY media_id, frame
+    """,
+    doc="REAL video decode, value-checked end-to-end (r7 verdict "
+    "#6 — retires the explode-shaped stub plan): per doc a "
+    "deterministic uncompressed AVI (RIFF container, BI_RGB 24-bit "
+    "bottom-up DIB '00db' frames — functions/multimodal.py "
+    "make_avi, pixel (x,y,c) of frame f = (seed + 3x + 7y + 11c + "
+    "13f) mod 256) is built EXECUTOR-side and decoded through the "
+    "chunk walker (decode_avi: nested LIST traversal, declared-size "
+    "validation, stride/flip/channel-swap), then every SECOND frame "
+    "is sampled to scalar features (sample_video_frames_real). The "
+    "oracle regenerates each sampled frame's mean/checksum "
+    "arithmetically over the pixel grid. NotImplementedError "
+    "remains only for compressed fourccs (MJPG/H264 — no codec "
+    "libs), completing the real-media story: images, audio, video",
+)
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        make_avi,
+        sample_video_frames_real,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 48),
+        "doc_id",
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        bytearray(
+                            make_avi(
+                                8 + int(i) % 5,
+                                6 + int(i) % 3,
+                                4 + int(i) % 3,
+                                seed=int(i),
+                            )
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(synth, schema="media_id long, content binary")
+    out = sample_video_frames_real(media, every_n=2)
+    return out.select(
+        "media_id",
+        "frame",
+        "n_frames",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "checksum",
+        "decode_ok",
+    ).orderBy("media_id", "frame")

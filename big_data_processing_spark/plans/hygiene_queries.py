@@ -372,3 +372,94 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs, "text", "doc_id", k_smooth=1.0).orderBy(
         "doc_id"
     )
+
+
+def _zlib_oracle_values() -> str:
+    """Bake the expected (doc_id, n_bytes, c_bytes) rows for the
+    compression-ratio audit into a SQL VALUES list: zlib output is
+    not expressible in SQL, but the payloads depend only on doc_id,
+    so the SAME pure function that builds them executor-side
+    (functions/hygiene.py zlib_probe_payload) regenerates the
+    expected compressed sizes here at registration — the
+    deterministic-payload oracle recipe image_decode_features uses
+    for PNG bytes."""
+    import zlib
+
+    from big_data_processing_spark.functions.hygiene import (
+        COMPRESSION_LEVEL,
+        zlib_probe_payload,
+    )
+
+    rows = []
+    for i in range(64):
+        b = zlib_probe_payload(i)
+        rows.append(f"({i}, {len(b)}, {len(zlib.compress(b, COMPRESSION_LEVEL))})")
+    return ", ".join(rows)
+
+
+@register(
+    "compression_ratio_hygiene",
+    f"""
+    WITH expected(doc_id, n_bytes, c_bytes) AS (
+      VALUES {{zlib_values}}
+    )
+    SELECT d.doc_id,
+           e.n_bytes, e.c_bytes,
+           round(CAST(e.c_bytes AS DOUBLE) / e.n_bytes, 6)
+             AS compression_ratio,
+           CAST(e.c_bytes AS DOUBLE) / e.n_bytes < 0.3
+             AS flag_repetitive,
+           CAST(e.c_bytes AS DOUBLE) / e.n_bytes > 0.9
+             AS flag_incompressible
+    FROM documents d JOIN expected e ON d.doc_id = e.doc_id
+    WHERE d.doc_id < 64
+    ORDER BY d.doc_id
+    """.replace("{zlib_values}", _zlib_oracle_values()),
+    doc="Compression-ratio quality signal (zlib), value-checked end "
+    "to end (r7 verdict #5): per doc a deterministic payload in one "
+    "of three compressibility classes — natural-phrase repetition, "
+    "short cyclic pattern, LCG printable noise — is built "
+    "EXECUTOR-side from doc_id alone, deflated at the pinned level "
+    "by the Arrow-batched kernel (functions/hygiene.py "
+    "compression_ratio), and scored with the C4-ish <0.3 / >0.9 "
+    "flag cut points. The oracle regenerates every expected "
+    "compressed size at registration with the same pure function "
+    "(zlib is deterministic per level), so ratios and flags are "
+    "hash-checked, not trusted. On a real corpus the same kernel "
+    "runs over the text column directly (pytest-pinned); only "
+    "scalar features ever leave the executor",
+)
+def q_compression_ratio_hygiene(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.hygiene import (
+        compression_ratio,
+        zlib_probe_payload,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [
+                        zlib_probe_payload(i).decode("ascii")
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = ids.mapInPandas(synth, schema="doc_id long, text string")
+    return compression_ratio(docs, "text", "doc_id").orderBy("doc_id")

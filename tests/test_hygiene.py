@@ -204,3 +204,40 @@ def test_dup_span_coverage_positions(spark):
     assert out[1] == (10, 5, 0.5)
     assert out[2] == (6, 5, round(5 / 6, 6))
     assert out[3] == (8, 0, 0.0)
+
+
+def test_compression_ratio_real_text(spark):
+    """compression_ratio over a REAL text column (the registered
+    query pins the deterministic-payload oracle; this pins the
+    production path): distributed ratios equal a local zlib
+    recompute, flags fire at the documented cut points, and empty
+    docs land at ratio 0 with no flags."""
+    import zlib
+
+    from big_data_processing_spark.functions.hygiene import (
+        COMPRESSION_LEVEL,
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "natural prose with some variety of words and clauses."),
+        (2, "spam spam spam " * 50),          # repetitive -> low ratio
+        (3, "k9$Qz!uV@3#pL8^mW&xR*aT%bN(cJ)dH"),  # short noise
+        (4, ""),                               # empty
+        (5, None),                             # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    for i, t in rows:
+        b = (t or "").encode()
+        assert out[i].n_bytes == len(b)
+        if b:
+            c = len(zlib.compress(b, COMPRESSION_LEVEL))
+            assert out[i].c_bytes == c
+            assert out[i].compression_ratio == round(c / len(b), 6)
+        else:
+            assert out[i].c_bytes == 0 and out[i].compression_ratio == 0.0
+            assert not out[i].flag_repetitive
+            assert not out[i].flag_incompressible
+    assert out[2].flag_repetitive and not out[2].flag_incompressible
+    assert not out[1].flag_repetitive

@@ -557,3 +557,80 @@ def test_extract_audio_features_real_float_and_int(spark):
     b = w.astype(np.int64)
     assert out[2].peak == float(np.abs(b).max())
     assert abs(out[2].rms - float(np.sqrt(float((b * b).sum()) / b.size))) < 1e-9
+
+
+def test_avi_roundtrip_and_chunk_walker():
+    """decode_avi (r7 verdict #6): make_avi round-trips every frame
+    exactly (stride padding, bottom-up flip, BGR swap), unknown
+    chunks are skipped, truncated/declared-overrun chunks raise,
+    compressed fourccs stay an honest NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_avi,
+        make_avi,
+    )
+
+    avi = make_avi(7, 5, 4, seed=3, fps=25)
+    fps, frames = decode_avi(avi)
+    assert fps == 25.0 and frames.shape == (4, 5, 7, 3)
+    y, x, c = np.mgrid[0:5, 0:7, 0:3]
+    for f in range(4):
+        assert (frames[f] == (3 + 3 * x + 7 * y + 11 * c + 13 * f) % 256).all()
+    # unknown top-level chunk is skipped (walker, not offset math)
+    extra = b"JUNK" + struct.pack("<I", 4) + b"abcd"
+    patched = (
+        avi[:8] + avi[8:12] + extra + avi[12:]
+    )
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    fps2, frames2 = decode_avi(patched)
+    assert (frames2 == frames).all()
+    # declared size overrunning the buffer is corruption
+    with _pytest.raises(ValueError):
+        decode_avi(avi[: len(avi) // 2])
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxWAVE")
+    # compressed stream: flip biCompression in strf to MJPG
+    i = avi.find(b"strf")
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, i + 8 + 16, 0x47504A4D)
+    with _pytest.raises(NotImplementedError):
+        decode_avi(bytes(bad))
+
+
+def test_sample_video_frames_real_isolation(spark):
+    """sample_video_frames_real: per-row failure isolation (corrupt
+    blob -> one decode_ok=False row, never a dead batch) and exact
+    per-frame features."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_avi,
+        make_avi,
+        sample_video_frames_real,
+    )
+
+    rows = [
+        Row(media_id=1, content=bytearray(make_avi(6, 4, 5, seed=9))),
+        Row(media_id=2, content=bytearray(b"RIFFgarbage")),
+        Row(media_id=3, content=None),
+    ]
+    out = sample_video_frames_real(
+        spark.createDataFrame(rows), every_n=2
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.media_id, []).append(r)
+    assert [r.frame for r in sorted(got[1], key=lambda r: r.frame)] == [0, 2, 4]
+    _, frames = decode_avi(make_avi(6, 4, 5, seed=9))
+    for r in got[1]:
+        a = frames[r.frame].astype(np.int64)
+        assert r.checksum == int(a.sum()) and r.n_frames == 5
+        assert abs(r.mean_pixel - float(a.mean())) < 1e-12
+        assert r.decode_ok
+    assert len(got[2]) == 1 and not got[2][0].decode_ok
+    assert len(got[3]) == 1 and not got[3][0].decode_ok
