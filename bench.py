@@ -112,11 +112,19 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — warm-up is best-effort
                 print(f"bench: pre-warm {warm_q} failed: {e}",
                       file=sys.stderr)
-        try:
-            doc_near_dup_clusters(spark, warm_dir)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: pre-warm doc_clusters failed: {e}",
-                  file=sys.stderr)
+        # Skip the doc-clusters pre-warm when it would populate the
+        # very cache key the timed doc_cluster_build entry is about
+        # to build (warm dir == benched dir, e.g. an sf0.001 bench):
+        # otherwise the "deliberately cold" entry times a cache hit.
+        if os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
+            try:
+                doc_near_dup_clusters(spark, warm_dir)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: pre-warm doc_clusters failed: {e}",
+                      file=sys.stderr)
+        else:
+            print("bench: skipping doc_clusters pre-warm "
+                  "(warm dir == benched dir)", file=sys.stderr)
         hygiene()  # timing starts from a clean storage/GC state
         print(f"bench: jit pre-warm "
               f"{round(time.perf_counter() - t0, 3)}s at {warm_dir}",

@@ -1070,19 +1070,33 @@ def decode_avi(content: bytes):
     bpp = compression = None
     usec_per_frame = None
     frames_raw: list[bytes] = []
+    stream_type = None  # fccType of the most recent strh in this strl
 
-    def scan_list(start: int, size: int) -> None:
+    def scan_list(start: int, size: int, in_movi: bool = False) -> None:
         nonlocal width, height, bpp, compression, usec_per_frame
+        nonlocal stream_type
         subtype = content[start : start + 4]
+        # 'rec ' LISTs group interleaved chunks inside movi for
+        # CD-ROM read alignment — transparent for frame collection.
+        movi_here = in_movi or subtype in (b"movi", b"rec ")
         for cid, bstart, bsize in walk(content, start + 4, start + size):
             body = content[bstart : bstart + bsize]
             if cid == b"LIST":
-                scan_list(bstart, bsize)
+                scan_list(bstart, bsize, in_movi=movi_here)
             elif cid == b"avih":
                 if bsize < 40:
                     raise ValueError("avih chunk too short")
                 usec_per_frame = struct.unpack_from("<I", body, 0)[0]
-            elif cid == b"strf" and width is None:
+            elif cid == b"strh":
+                # Remember the stream type so the following strf is
+                # only parsed as a BITMAPINFOHEADER for 'vids' streams
+                # (an 'auds' strf is a WAVEFORMATEX, not w/h/bpp).
+                stream_type = body[:4] if bsize >= 4 else None
+            elif (
+                cid == b"strf"
+                and stream_type == b"vids"
+                and width is None
+            ):
                 # BITMAPINFOHEADER of the first video stream
                 if bsize < 40:
                     raise ValueError("strf chunk too short")
@@ -1090,7 +1104,7 @@ def decode_avi(content: bytes):
                 bpp = struct.unpack_from("<H", body, 14)[0]
                 compression = struct.unpack_from("<I", body, 16)[0]
             elif (
-                subtype == b"movi"
+                movi_here
                 and len(cid) == 4
                 and cid[2:4] in (b"db", b"dc")
             ):

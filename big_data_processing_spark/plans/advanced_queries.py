@@ -1270,9 +1270,16 @@ def _bucketed_segments_tables(
     # overwrite rather than accumulate; cross-run leftovers are
     # bounded (one copy per dead pid) and land under the same
     # per-uid scratch parent the streaming queries use.
+    import stat
+
     uid = os.getuid() if hasattr(os, "getuid") else 0
     parent = os.path.join(tempfile.gettempdir(), f"bdps_scratch_u{uid}")
     os.makedirs(parent, mode=0o700, exist_ok=True)
+    # makedirs does not re-apply mode to a pre-existing dir: enforce
+    # the 0700 posture every call (r8 ADVICE, mirrors maintenance.py)
+    st = os.lstat(parent)
+    if stat.S_IMODE(st.st_mode) & 0o077:
+        os.chmod(parent, 0o700)
     work = os.path.join(parent, f"bkt_join_{token}_p{os.getpid()}")
     suffix = f"{token}_p{os.getpid()}"
     o_tbl, c_tbl = f"bkt_orders_{suffix}", f"bkt_customer_{suffix}"

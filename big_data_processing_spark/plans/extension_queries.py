@@ -3017,7 +3017,11 @@ SIMHASH_PRECISION_FLOOR = 0.95
     "at sf1 — both pipelines are RNG-free, so this is deterministic "
     "per corpus). "
     "This converts the minhash_near_dup rows-only annotation into "
-    "a value-checked CORRECTNESS row",
+    "a value-checked CORRECTNESS row. The identical-gram containment "
+    "check is linear (per-group pair counts vs fast pairs whose "
+    "endpoints share a group key; found ⊆ expected so count equality "
+    "is set equality) — never a group self-join, so an "
+    "all-duplicates corpus cannot make the audit itself quadratic",
 )
 def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.functions.dedup import (
@@ -3064,27 +3068,46 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # identical-gram-set pairs: md5 the sorted gram list (128-bit —
-    # group identity without shuffling full gram arrays)
+    # group identity without shuffling full gram arrays). The
+    # containment check is LINEAR, never a group self-join (r8
+    # verdict #4: a pathological all-duplicates corpus would make a
+    # k=k self-join c² per duplicate group): expected pair count per
+    # group is c*(c-1)/2 from a groupBy count, and found pairs are
+    # the fast pairs whose two endpoints share a group key. Every
+    # found pair IS an identical pair (same gram set), so found ⊆
+    # expected and COUNT equality ⟺ SET equality — no pair
+    # materialization needed.
     gk = grams.select(
         "doc_id",
         F.md5(F.concat_ws("\x01", F.array_sort("grams"))).alias("k"),
     )
-    ident_pairs = (
-        gk.alias("x")
-        .join(gk.alias("y"), "k")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
+    n_ident = (
+        gk.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_identical")
         )
     )
-    ident = ident_pairs.join(
-        fast.select("id_a", "id_b", F.lit(1).alias("__f")),
-        ["id_a", "id_b"],
-        "left",
-    ).agg(
-        F.count(F.lit(1)).alias("n_identical"),
-        F.sum(F.when(F.col("__f").isNull(), 1).otherwise(0)).alias(
+    n_found = (
+        fast.join(
+            gk.select(F.col("doc_id").alias("id_a"), F.col("k").alias("__ka")),
+            "id_a",
+        )
+        .join(
+            gk.select(F.col("doc_id").alias("id_b"), F.col("k").alias("__kb")),
+            "id_b",
+        )
+        .filter(F.col("__ka") == F.col("__kb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ident_found"))
+    )
+    ident = n_ident.crossJoin(n_found).select(
+        "n_identical",
+        (F.col("n_identical") - F.col("n_ident_found")).alias(
             "n_ident_missing"
         ),
     )
@@ -3344,6 +3367,77 @@ def q_gzip_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars",
             "text_checksum",
             F.lit(gz_ok).alias("gz_files_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "bzip2_roundtrip_stats",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS text_checksum,
+           TRUE AS bz2_files_ok
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="SPLITTABLE compressed-text ingest round-trip, value-checked "
+    "(r8 verdict #2): zstd — the 2025-era corpus codec (.jsonl.zst: "
+    "Dolma, RedPajama, FineWeb) — needs Hadoop's native bundle, "
+    "which this runtime lacks (probe documented in write_jsonl's "
+    "docstring; Spark rejects compression='zstd' with "
+    "CODEC_NOT_AVAILABLE here). bzip2 is the splittable codec that "
+    "IS universally present (pure-Java, block-structured: a 10 GiB "
+    ".jsonl.bz2 fans out across read tasks where .jsonl.gz is one "
+    "task per file), so it carries the splittable-ingest contract: "
+    "whole documents table through bzip2 JSONL and back via the "
+    "extension-dispatched reader, per-lang row count / char sum / "
+    "commutative md5-prefix text checksum vs the parquet original, "
+    "bz2_files_ok pinning that the codec engaged (.json.bz2 files "
+    "on disk). On a libhadoop+libzstd cluster, the same "
+    "write_jsonl(compression='zstd') one-word swap applies",
+)
+def q_bzip2_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from big_data_processing_spark.sources.files import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from big_data_processing_spark.sources.maintenance import scratch_dir
+
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    work = scratch_dir("bz2_rt", sf_dir)
+    write_jsonl(src, f"{work}/bz2", compression="bzip2")
+    bz2_ok = all(
+        f.endswith(".json.bz2")
+        for f in os.listdir(f"{work}/bz2")
+        if not f.startswith(("_", "."))
+    )
+    back = read_jsonl(spark, f"{work}/bz2", schema=src.schema)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        .select(
+            "lang",
+            "n_rows",
+            "sum_chars",
+            "text_checksum",
+            F.lit(bz2_ok).alias("bz2_files_ok"),
         )
         .orderBy("lang")
     )

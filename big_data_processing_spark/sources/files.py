@@ -134,7 +134,20 @@ def write_jsonl(
     choice is a split-ability decision at 100 TB: gzip files are
     NOT splittable (one task per file — size files toward one
     task's appetite at write time), bzip2 and zstd-with-seekable
-    frames are."""
+    frames are.
+
+    zstd availability is a DEPLOYMENT property, not an engine one:
+    Hadoop's ZStandardCodec needs the native-hadoop library, which
+    this runtime does not bundle (probed r9:
+    ``NativeCodeLoader.isNativeCodeLoaded() == False``; Spark lists
+    available codecs as bzip2/deflate/uncompressed/snappy/lz4/gzip
+    and rejects ``zstd`` with CODEC_NOT_AVAILABLE). On a cluster
+    with libhadoop + libzstd the same one-word option works
+    unchanged. Here, ``bzip2`` is the SPLITTABLE compressed-text
+    choice (pure-Java codec, always present, block-structured so a
+    10 GiB .jsonl.bz2 still fans out across tasks) — round-trip
+    value-checked by the ``bzip2_roundtrip_stats`` registry query
+    beside gzip's."""
     if target_partitions is not None:
         df = df.coalesce(target_partitions)
     writer = df.write.mode(mode)

@@ -120,6 +120,12 @@ def scratch_dir(prefix: str, key: str) -> str:
             f"scratch parent {parent!r} exists but is not a directory "
             "owned by this user — refusing to reuse (tmp squatting)"
         )
+    # makedirs(mode=0o700) does NOT re-apply the mode to a directory
+    # that already existed (possibly created world-readable by an
+    # earlier run or another tool) — enforce the documented 0700
+    # posture on every call (r8 ADVICE).
+    if stat.S_IMODE(st.st_mode) & 0o077:
+        os.chmod(parent, 0o700)
     token = hashlib.md5(key.encode()).hexdigest()[:8]
     # reap siblings for the same (prefix, key) left by DEAD processes
     # only — a live concurrent session's dir is never touched

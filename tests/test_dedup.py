@@ -351,6 +351,22 @@ def test_quadratic_guard_warns_past_ceiling(spark):
         [(i, "hello world " * 3) for i in range(50)], "id long, text string"
     )
     scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # Spark-version canary (r8 verdict #7): warn_if_quadratic fails
+    # SOFT at runtime by design, so if a Spark upgrade removes the
+    # private queryExecution().optimizedPlan().stats() handle, the
+    # guard would silently stop guarding. Touch the handle directly
+    # here so that upgrade turns into a LOUD test failure, not a
+    # silently-disabled guard.
+    try:
+        est = int(
+            scan._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception as e:  # noqa: BLE001
+        raise AssertionError(
+            "Catalyst stats handle gone — warn_if_quadratic "
+            f"(partitioning.py) is silently disabled on this Spark: {e}"
+        ) from e
+    assert 0 < est < 1 << 62  # a real parquet scan has a real estimate
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # any warning -> test failure
         warn_if_quadratic(scan, "t", ceiling_bytes=1 << 40)
@@ -374,3 +390,37 @@ def test_quadratic_guard_warns_past_ceiling(spark):
             df.withColumn("b", F.lit(1)), "text", "id", ["b"],
             allow_quadratic=True,
         ).collect()
+
+
+def test_minhash_audit_linear_on_all_duplicates_corpus(spark, tmp_path):
+    """r8 verdict #4: the minhash_fastpath_audit's identical-gram
+    containment must stay LINEAR — per-group pair counts, never a
+    group self-join — so a pathological all-duplicates corpus (one
+    giant identical group) cannot make the audit itself quadratic.
+    Exactness check: n_identical = c*(c-1)/2 for the planted group
+    and identical_ok still verifies every one of those pairs is in
+    the fast set via the count-containment equivalence."""
+    import os
+
+    from big_data_processing_spark.plans.extension_queries import (
+        q_minhash_fastpath_audit,
+    )
+
+    c = 25  # one identical group of 25 docs -> 300 expected pairs
+    rows = [(i, DOC_A, "en", "s", len(DOC_A)) for i in range(c)]
+    rows += [
+        (100 + j, f"{DOC_B} variant {j} " + "filler words " * j,
+         "en", "s", 40)
+        for j in range(5)
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = q_minhash_fastpath_audit(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_identical == c * (c - 1) // 2
+    assert r.identical_ok and r.precision_ok and r.recall_floor_ok

@@ -601,6 +601,85 @@ def test_avi_roundtrip_and_chunk_walker():
         decode_avi(bytes(bad))
 
 
+def test_avi_audio_stream_first_and_rec_lists():
+    """r8 ADVICE: an 'auds' strl declared BEFORE the video strl must
+    not have its strf (a WAVEFORMATEX) parsed as a BITMAPINFOHEADER
+    — the strh fccType gates strf parsing; frames wrapped in 'rec '
+    LISTs inside movi (CD-ROM interleave grouping) must still be
+    collected."""
+    import struct
+
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_avi,
+        make_avi,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    base = make_avi(6, 4, 3, seed=5, fps=10)
+    _, want = decode_avi(base)
+
+    # rebuild: hdrl = avih + strl(auds) + strl(vids), movi wraps each
+    # frame chunk in its own 'rec ' LIST
+    w, h, n, stride = 6, 4, 3, (6 * 3 + 3) & ~3
+    avih = chunk(
+        b"avih",
+        struct.pack("<14I", 100_000, 0, 0, 0, n, 0, 2,
+                    stride * h, w, h, 0, 0, 0, 0),
+    )
+    # audio stream header + WAVEFORMATEX strf: wFormatTag=1 (PCM),
+    # 2ch, 44100 Hz — bytes that parsed as BITMAPINFOHEADER would
+    # yield nonsense width/height/compression
+    strh_a = chunk(
+        b"strh",
+        b"auds" + b"\x00" * 4 + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 44100, 0, 0, 0, 0, 0, 0),
+    )
+    strf_a = chunk(
+        b"strf", struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    )
+    strh_v = chunk(
+        b"strh",
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10, 0, n,
+            stride * h, 0, 0, 0),
+    )
+    strf_v = chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII",
+                    40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0),
+    )
+    y, x, c = np.mgrid[0:h, 0:w, 0:3]
+    recs = []
+    for f in range(n):
+        rgb = ((5 + 3 * x + 7 * y + 11 * c + 13 * f) % 256).astype(
+            np.uint8
+        )
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)
+        recs.append(lst(b"rec ", chunk(b"00db", rows[::-1].tobytes())))
+    hdrl = lst(
+        b"hdrl",
+        avih + lst(b"strl", strh_a + strf_a) + lst(b"strl", strh_v + strf_v),
+    )
+    movi = lst(b"movi", b"".join(recs))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fps, frames = decode_avi(avi)
+    assert fps == 10.0
+    assert frames.shape == (3, 4, 6, 3)
+    assert (frames == want).all()
+
+
 def test_sample_video_frames_real_isolation(spark):
     """sample_video_frames_real: per-row failure isolation (corrupt
     blob -> one decode_ok=False row, never a dead batch) and exact

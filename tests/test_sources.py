@@ -309,17 +309,29 @@ def test_scratch_dir_deterministic_and_wiped():
     assert os.path.basename(parent) == f"bdps_scratch_u{os.getuid()}"
     st = os.stat(parent)
     assert st.st_uid == os.getuid()
-    # a dead process's dir for the same (prefix, key) is reaped;
-    # pid 1 (init, alive, not ours) is left alone
+    # a dead process's dir for the same (prefix, key) is reaped; a
+    # LIVE sibling's dir is left alone. Use a throwaway child we own
+    # as the live pid — pid 1 only worked when the runner was root
+    # (os.kill(1, 0) raises PermissionError for everyone else, which
+    # the reaper treats as pid-recycled-stale) (r8 ADVICE).
+    import shutil
+    import subprocess
+    import sys as _sys
+
     dead = a[: -len(str(os.getpid()))] + "4194000"  # > pid_max default
     os.makedirs(dead, exist_ok=True)
-    alive_other = a[: -len(str(os.getpid()))] + "1"
+    child = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(60)"]
+    )
+    alive_other = a[: -len(str(os.getpid()))] + str(child.pid)
     os.makedirs(alive_other, exist_ok=True)
-    scratch_dir("sgtest", "/some/sf_dir")
-    assert not os.path.exists(dead)
-    assert os.path.exists(alive_other)  # live process's dir untouched
-    import shutil
-
+    try:
+        scratch_dir("sgtest", "/some/sf_dir")
+        assert not os.path.exists(dead)
+        assert os.path.exists(alive_other)  # live process's dir kept
+    finally:
+        child.kill()
+        child.wait()
     shutil.rmtree(a, ignore_errors=True)
     shutil.rmtree(c, ignore_errors=True)
     shutil.rmtree(alive_other, ignore_errors=True)

@@ -348,6 +348,29 @@ def test_release_leaked_checkpoints_respects_keep_set(spark):
     del leaked
 
 
+def test_pinned_rdd_ids_sees_cached_frames(spark):
+    """Spark-version canary (r8 verdict #7): pinned_rdd_ids reads
+    the private LogicalRDD handle and fails SOFT by design, so a
+    Spark upgrade that breaks the handle would silently empty the
+    keep-set and let harness hygiene free frames consumers still
+    hold. Assert the handle actually resolves for a checkpointed
+    frame planted in the memo cache."""
+    from big_data_processing_spark.plans import doc_clusters
+
+    frame = spark.range(7).localCheckpoint(eager=True)
+    key = ("__canary__",)
+    doc_clusters._CACHE[key] = frame
+    try:
+        ids = doc_clusters.pinned_rdd_ids()
+        assert ids, (
+            "pinned_rdd_ids returned no ids for a localCheckpoint "
+            "frame — the LogicalRDD private handle is gone on this "
+            "Spark and checkpoint hygiene is silently unguarded"
+        )
+    finally:
+        del doc_clusters._CACHE[key]
+
+
 def test_gap_fill_keeps_unaligned_observations(spark):
     from pyspark.sql import functions as F
 
