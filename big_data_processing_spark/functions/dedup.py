@@ -288,6 +288,52 @@ def simhash64_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def hash64_near_dup_pairs(
+    frame: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column (SimHash,
+    image dHash, audio fingerprint): 16-bit-chunk banding for
+    candidates — hamming ≤ 3 ⇒ at least one of 4 chunks equal by
+    pigeonhole, so banding loses nothing at the default threshold —
+    verified with ``bit_count(a XOR b) <= max_hamming``. Returns
+    (id_a, id_b, hamming) with id_a < id_b. The self-join shuffles
+    (id, hash, chunk key) rows only: 4 × 20-ish bytes per row at
+    any corpus size."""
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(hash_col, 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("key"),
+        )
+        for c in range(4)
+    ])
+    banded = frame.select(
+        id_col, hash_col, F.explode(chunks).alias("cc")
+    ).select(id_col, hash_col, "cc.chunk", "cc.key")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"),
+        "chunk", "key",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"),
+        "chunk", "key",
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        left.join(right, on=["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -304,36 +350,7 @@ def simhash_near_duplicates(
     sim = _spread(
         simhash64_table(df, text_col, id_col), id_col
     ).localCheckpoint(eager=False)
-    chunks = F.array(*[
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned("simhash", 16 * c)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("key"),
-        )
-        for c in range(4)
-    ])
-    banded = sim.select(
-        id_col, "simhash", F.explode(chunks).alias("cc")
-    ).select(id_col, "simhash", "cc.chunk", "cc.key")
-
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
-        "chunk", "key",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
-        "chunk", "key",
-    )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
-        left.join(right, on=["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hash64_near_dup_pairs(sim, id_col, "simhash", max_hamming)
 
 
 def ngram_jaccard_pairs(

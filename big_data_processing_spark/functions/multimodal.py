@@ -622,19 +622,16 @@ def make_bmp8(w: int, h: int, seed: int) -> bytes:
     return header + dib + table.tobytes() + data
 
 
-def make_bmp(w: int, h: int, seed: int) -> bytes:
-    """Deterministic synthetic 24-bit bottom-up BI_RGB BMP
-    (fixture/demo generator): RGB pixel (x, y, c) =
-    (seed + 3x + 7y + 11c) mod 256 — the same raster arithmetic as
-    :func:`make_ppm`, stored BGR with the spec's 4-byte row stride
-    so :func:`decode_bmp`'s padding/flip/channel-swap paths are all
-    exercised."""
+def bmp_from_raster(rgb) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB raster as a 24-bit bottom-up
+    BI_RGB BMP (the lossless fixture encoder for arbitrary content —
+    :func:`make_bmp` keeps its closed-form grid on top of this)."""
     import struct
 
     import numpy as np
 
-    y, x, c = np.mgrid[0:h, 0:w, 0:3]
-    rgb = ((seed + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
     bgr = rgb[:, :, ::-1]
     stride = (w * 3 + 3) & ~3
     rows = np.zeros((h, stride), dtype=np.uint8)
@@ -647,6 +644,36 @@ def make_bmp(w: int, h: int, seed: int) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return header + dib + data
+
+
+def make_bmp(w: int, h: int, seed: int) -> bytes:
+    """Deterministic synthetic 24-bit bottom-up BI_RGB BMP
+    (fixture/demo generator): RGB pixel (x, y, c) =
+    (seed + 3x + 7y + 11c) mod 256 — the same raster arithmetic as
+    :func:`make_ppm`, stored BGR with the spec's 4-byte row stride
+    so :func:`decode_bmp`'s padding/flip/channel-swap paths are all
+    exercised."""
+    import numpy as np
+
+    y, x, c = np.mgrid[0:h, 0:w, 0:3]
+    rgb = ((seed + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+    return bmp_from_raster(rgb)
+
+
+def texture_raster(w: int, h: int, seed: int):
+    """Deterministic NON-linear RGB raster (fixture generator for
+    perceptual hashing): quadratic + cross terms wrap mod 256, so
+    different seeds give structurally different textures — unlike
+    the linear gradient grids, whose horizontal differences (and
+    hence dHash) are seed-invariant."""
+    import numpy as np
+
+    y, x, c = np.mgrid[0:h, 0:w, 0:3]
+    v = (
+        97 * seed + 3 * x * x + 7 * y * y + 5 * x * y
+        + 11 * c * (x + y + 1)
+    ) % 256
+    return v.astype(np.uint8)
 
 
 def decode_image_real(content: bytes):
@@ -786,6 +813,78 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         kernel, schema=MEDIA_STATS_SCHEMA
+    )
+
+
+def image_dhash(img) -> int:
+    """64-bit perceptual difference hash (dHash) of a decoded
+    raster: grayscale (channel mean) → exact-boundary mean-pool to
+    an 8×9 grid → bit (r, c) = 1 iff grid[r, c+1] > grid[r, c],
+    packed row-major into a signed 64-bit int (bit 63 two's-
+    complement). dHash is the standard near-dup signature for
+    images: stable under re-encoding, mild quantization and small
+    noise; hamming distance between hashes tracks visual change.
+    Requires at least a 9×8 raster (a smaller image has no
+    meaningful perceptual structure to hash) — ValueError below
+    that, which the extraction kernel maps to decode_ok = False."""
+    import numpy as np
+
+    arr = np.asarray(img).astype(np.float64)
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)
+    h, w = arr.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"image {w}x{h} too small for an 8x9 dHash")
+    # exact integer bucket boundaries (same discipline as
+    # image_to_features): deterministic, no float resampling
+    ry = (np.arange(9) * h) // 8
+    rx = (np.arange(10) * w) // 9
+    grid = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        for c in range(9):
+            grid[r, c] = arr[ry[r] : ry[r + 1], rx[c] : rx[c + 1]].mean()
+    bits = grid[:, 1:] > grid[:, :-1]  # (8, 8)
+    v = 0
+    for k, b in enumerate(bits.ravel()):
+        if b:
+            v |= 1 << k
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+DHASH_SCHEMA = "media_id long, dhash long, decode_ok boolean"
+
+
+def extract_image_dhash(df: DataFrame) -> DataFrame:
+    """(media_id, dhash, decode_ok) over an opaque binary image
+    column: real decode (:func:`decode_image_real`, magic-byte
+    dispatched) → :func:`image_dhash`, Arrow-batched with per-row
+    failure isolation. Only the 8-byte hash leaves the executor —
+    the media bytes never shuffle, so downstream near-dup pairing
+    joins carry (id, long) rows regardless of corpus media size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return image_dhash(decode_image_real(bytes(b)))
+            except (ValueError, NotImplementedError, TypeError):
+                return None
+            except Exception:  # malformed payload
+                return None
+
+        for pdf in batches:
+            hashes = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": hashes.astype("Int64"),
+                    "decode_ok": hashes.notna(),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=DHASH_SCHEMA
     )
 
 
@@ -1283,6 +1382,7 @@ def make_jpeg(
     subsampling: str = "4:2:0",
     quality: int = 90,
     restart_interval: int = 0,
+    raster=None,
 ) -> bytes:
     """Deterministic synthetic baseline JFIF (fixture/demo generator,
     the :func:`make_png` / :func:`make_avi` sibling): RGB pixel
@@ -1302,14 +1402,28 @@ def make_jpeg(
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     yg, xg = np.mgrid[0:height, 0:width]
     if grayscale:
-        planes = [((seed + 3 * xg + 7 * yg) % 256).astype(np.float64)]
+        if raster is not None:
+            plane = np.asarray(raster, dtype=np.float64)
+            if plane.ndim == 3:
+                plane = plane.mean(axis=2)
+        else:
+            plane = ((seed + 3 * xg + 7 * yg) % 256).astype(np.float64)
+        planes = [plane]
         factors = [(1, 1)]
         qt_sel = [0]
     else:
-        c = np.arange(3).reshape(1, 1, 3)
-        rgb = (
-            (seed + 3 * xg[..., None] + 7 * yg[..., None] + 11 * c) % 256
-        ).astype(np.float64)
+        if raster is not None:
+            rgb = np.asarray(raster, dtype=np.float64)
+            if rgb.shape[:2] != (height, width) or rgb.ndim != 3:
+                raise ValueError(
+                    f"raster shape {rgb.shape} != ({height}, {width}, 3)"
+                )
+        else:
+            c = np.arange(3).reshape(1, 1, 3)
+            rgb = (
+                (seed + 3 * xg[..., None] + 7 * yg[..., None] + 11 * c)
+                % 256
+            ).astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         yy = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b

@@ -1298,6 +1298,125 @@ def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_fixture(i: int) -> bytes:
+    """Image near-dup fixture mix: 32 texture groups × 3 variants —
+    the lossless original (BMP), a quality-100 4:4:4 JPEG re-encode
+    (the classic same-image-different-file near-dup), and a small
+    local pixel edit (watermark/crop-class change). Measured dHash
+    hamming: ≤ 2 within a group, ≥ 22 across groups at these
+    texture params."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        bmp_from_raster,
+        make_jpeg,
+        texture_raster,
+    )
+
+    group, variant = i // 3, i % 3
+    t = texture_raster(24, 16, group)
+    if variant == 0:
+        return bmp_from_raster(t)
+    if variant == 1:
+        return make_jpeg(
+            24, 16, group, subsampling="4:4:4", quality=100, raster=t
+        )
+    t2 = t.astype(np.int16)
+    t2[5:8, 9:12] += 4
+    return bmp_from_raster(np.clip(t2, 0, 255).astype(np.uint8))
+
+
+def _phash_oracle_values() -> str:
+    """Regenerate the expected (id_a, id_b, hamming) pairs at
+    registration with the same pure functions the executors run
+    (decode → dHash → brute-force hamming ≤ 3): banding with 4 ×
+    16-bit chunks is LOSSLESS at threshold 3 by pigeonhole, so
+    plain threshold truth equals the banded plan's output."""
+    from big_data_processing_spark.functions.multimodal import (
+        decode_image_real,
+        image_dhash,
+    )
+
+    hashes = {
+        i: image_dhash(decode_image_real(_phash_fixture(i)))
+        for i in range(96)
+    }
+    rows = []
+    for a in range(96):
+        for b in range(a + 1, 96):
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                rows.append(f"({a}, {b}, {d})")
+    return ", ".join(rows)
+
+
+@register(
+    "image_near_dup_phash",
+    f"""
+    WITH expected(id_a, id_b, hamming) AS (VALUES {{phash_values}})
+    SELECT e.id_a, e.id_b, CAST(e.hamming AS BIGINT) AS hamming
+    FROM expected e
+    JOIN documents da ON da.doc_id = e.id_a
+    JOIN documents db ON db.doc_id = e.id_b
+    ORDER BY e.id_a, e.id_b
+    """.replace("{phash_values}", _phash_oracle_values()),
+    doc="Image-level near-dedup over REAL decoded pixels — the "
+    "multimodal sibling of simhash_near_dup, sharing its banded "
+    "pairing engine (functions/dedup.py hash64_near_dup_pairs): "
+    "per doc one of 96 fixtures (32 textures × {original BMP, "
+    "quality-100 JPEG re-encode, small pixel edit}) is decoded by "
+    "the magic-byte dispatcher, reduced to a 64-bit dHash "
+    "(functions/multimodal.py image_dhash — 8×9 mean-pool, "
+    "horizontal gradient signs) in an Arrow-batched kernel, and "
+    "paired by 16-bit-chunk banding + bit_count verification at "
+    "hamming ≤ 3 (banding provably lossless there by pigeonhole). "
+    "Only (id, 8-byte hash) rows shuffle — media bytes stay in the "
+    "scan stage, the pairing join is O(bucket²) like simhash. The "
+    "oracle regenerates every expected pair at registration from "
+    "the same pure decode+hash functions. Re-encodes land at "
+    "hamming ≤ 2, local edits ≤ 1, distinct textures ≥ 22 — the "
+    "signature discriminates, not just matches",
+)
+def q_image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.dedup import (
+        hash64_near_dup_pairs,
+    )
+    from big_data_processing_spark.functions.multimodal import (
+        extract_image_dhash,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 96),
+        "doc_id",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda i: _phash_fixture(int(i))
+                    ),
+                }
+            )
+
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    hashes = extract_image_dhash(media).filter("decode_ok")
+    return (
+        hash64_near_dup_pairs(hashes, "media_id", "dhash", max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register(
     "format_roundtrip_stats",
     f"""

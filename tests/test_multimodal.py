@@ -846,3 +846,81 @@ def test_jpeg_malformed_and_unsupported():
     # dispatcher routes JPEG magic to the real decoder
     img = decode_image_real(good)
     assert img.shape == (16, 16, 3)
+
+
+def test_image_dhash_properties():
+    """dHash contract: identical rasters hash identically; a
+    quality-100 4:4:4 JPEG re-encode stays within hamming 2; a
+    small local edit within 1; structurally different textures are
+    far; too-small images raise (kernel maps that to
+    decode_ok=False)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        bmp_from_raster,
+        decode_image_real,
+        image_dhash,
+        make_jpeg,
+        texture_raster,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    t = texture_raster(24, 16, 5)
+    h0 = image_dhash(decode_image_real(bmp_from_raster(t)))
+    assert h0 == image_dhash(t)  # decode is lossless for BMP
+    h1 = image_dhash(
+        decode_image_real(
+            make_jpeg(24, 16, 5, subsampling="4:4:4", quality=100,
+                      raster=t)
+        )
+    )
+    assert ham(h0, h1) <= 2
+    t2 = t.astype(np.int16)
+    t2[5:8, 9:12] += 4
+    h2 = image_dhash(np.clip(t2, 0, 255).astype(np.uint8))
+    assert ham(h0, h2) <= 1
+    other = image_dhash(texture_raster(24, 16, 6))
+    assert ham(h0, other) > 10
+    with _pytest.raises(ValueError):
+        image_dhash(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_hash64_near_dup_pairs_banding_exact(spark):
+    """The generalized 64-bit banded pairing (shared by simhash and
+    image dHash): at max_hamming 3 with 4 x 16-bit chunks, banding
+    is LOSSLESS by pigeonhole — the plan's output must equal the
+    brute-force threshold truth, including a planted pair differing
+    in exactly 3 bits spread over 3 chunks and a 4-bit pair that
+    must NOT appear."""
+    from big_data_processing_spark.functions.dedup import (
+        hash64_near_dup_pairs,
+    )
+
+    base = 0x123456789ABCDEF0
+    rows = [
+        (1, base),
+        (2, base ^ (1 << 0) ^ (1 << 17) ^ (1 << 34)),  # 3 bits, 3 chunks
+        (3, base ^ (1 << 1) ^ (1 << 18) ^ (1 << 35) ^ (1 << 52)),  # 4 bits
+        (4, -(1 << 63) | base),  # sign bit set: unsigned chunk math
+        (5, (-(1 << 63) | base) ^ (1 << 62)),  # 1 bit from 4
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hash64_near_dup_pairs(df, "id", "h", 3).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    want = {
+        (a, b): ham(ha, hb)
+        for a, ha in rows
+        for b, hb in rows
+        if a < b and ham(ha, hb) <= 3
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 3
+    assert (4, 5) in got and got[(4, 5)] == 1
+    assert not any(3 in p for p in got)
