@@ -295,21 +295,39 @@ def hash64_near_dup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit signature column (SimHash,
-    image dHash, audio fingerprint): 16-bit-chunk banding for
-    candidates — hamming ≤ 3 ⇒ at least one of 4 chunks equal by
-    pigeonhole, so banding loses nothing at the default threshold —
-    verified with ``bit_count(a XOR b) <= max_hamming``. Returns
+    image dHash, audio fingerprint): the 64 bits are split into
+    ``max_hamming + 1`` contiguous chunks, so a pair within the
+    threshold has at least one chunk equal by pigeonhole — banding
+    is LOSSLESS at any threshold, not just the default 3 (r9
+    ADVICE: a fixed 4×16-bit split silently under-recalled for
+    max_hamming > 3). Candidates are verified with
+    ``bit_count(a XOR b) <= max_hamming``. Returns
     (id_a, id_b, hamming) with id_a < id_b. The self-join shuffles
-    (id, hash, chunk key) rows only: 4 × 20-ish bytes per row at
-    any corpus size."""
+    (id, hash, chunk key) rows only: (max_hamming + 1) × 20-ish
+    bytes per row at any corpus size — larger thresholds pay more
+    bands AND denser buckets, the honest LSH trade."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in 0..63, got {max_hamming} "
+            "(64-bit signatures cannot band beyond 63)"
+        )
+    n = max_hamming + 1
+    bounds = [64 * c // n for c in range(n + 1)]
+
+    def chunk_key(c: int):
+        lo, width = bounds[c], bounds[c + 1] - bounds[c]
+        if width >= 64:  # max_hamming=0: exact-equality join
+            return F.col(hash_col)
+        return F.shiftrightunsigned(hash_col, lo).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(hash_col, 16 * c)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("key"),
+            chunk_key(c).alias("key"),
         )
-        for c in range(4)
+        for c in range(n)
     ])
     banded = frame.select(
         id_col, hash_col, F.explode(chunks).alias("cc")

@@ -1134,6 +1134,12 @@ def decode_jpeg(content: bytes):
             continue
         if marker == 0xD9:  # EOI before SOS: no image
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry NO length
+            # word (r9 ADVICE — parsing them as length-prefixed
+            # misreported valid streams as malformed)
+            pos += 2
+            continue
         if pos + 4 > len(content):
             raise ValueError("truncated JPEG segment header")
         seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")

@@ -1409,7 +1409,13 @@ def q_image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
-    hashes = extract_image_dhash(media).filter("decode_ok")
+    # the banded self-join references the hash frame on both sides —
+    # spread + checkpoint (the simhash recipe, r9 ADVICE) so the
+    # decode→dHash extraction runs ONCE and the checkpoint doesn't
+    # freeze an AQE-coalesced 1-partition layout
+    hashes = spread(
+        extract_image_dhash(media).filter("decode_ok"), "media_id"
+    ).localCheckpoint(eager=False)
     return (
         hash64_near_dup_pairs(hashes, "media_id", "dhash", max_hamming=3)
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
@@ -3449,28 +3455,48 @@ def q_simhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # identical token-multiset pairs: md5 of the sorted token list
-    # (order-free, multiplicity-preserving — the exact vote basis)
+    # (order-free, multiplicity-preserving — the exact vote basis).
+    # The containment check is LINEAR, never a group self-join (r9
+    # verdict #1, same count-equality technique as the minhash audit
+    # above): identical multisets ⇒ identical simhash ⇒ hamming 0 ⇒
+    # GUARANTEED paired by the pigeonhole banding, and conversely a
+    # fast pair whose endpoints share the key IS an identical pair
+    # at hamming 0 — so found ⊆ expected and COUNT equality ⟺ SET
+    # equality. Expected count per group is c*(c-1)/2 from a groupBy
+    # count; found is the key-equal hamming-0 slice of the fast
+    # pairs. No pair materialization — an all-duplicates corpus
+    # costs one groupBy, not C(n,2) rows.
     key = tks.select(
         "doc_id", F.md5(F.concat_ws("\x01", F.array_sort("t"))).alias("k")
     )
-    ident_pairs = (
-        key.alias("x")
-        .join(key.alias("y"), "k")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
+    n_ident = (
+        key.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_identical")
         )
     )
-    ident = ident_pairs.join(
-        fast.select("id_a", "id_b", (F.col("hamming") == 0).alias("__h0")),
-        ["id_a", "id_b"],
-        "left",
-    ).agg(
-        F.count(F.lit(1)).alias("n_identical"),
-        F.sum(
-            F.when(F.col("__h0").isNull() | ~F.col("__h0"), 1).otherwise(0)
-        ).alias("n_missing"),
+    n_found = (
+        fast.filter(F.col("hamming") == 0)
+        .join(
+            key.select(F.col("doc_id").alias("id_a"), F.col("k").alias("__ka")),
+            "id_a",
+        )
+        .join(
+            key.select(F.col("doc_id").alias("id_b"), F.col("k").alias("__kb")),
+            "id_b",
+        )
+        .filter(F.col("__ka") == F.col("__kb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ident_found"))
+    )
+    ident = n_ident.crossJoin(n_found).select(
+        "n_identical",
+        (F.col("n_identical") - F.col("n_ident_found")).alias("n_missing"),
     )
 
     return prec.crossJoin(ident).select(

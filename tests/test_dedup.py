@@ -424,3 +424,43 @@ def test_minhash_audit_linear_on_all_duplicates_corpus(spark, tmp_path):
     r = out[0]
     assert r.n_identical == c * (c - 1) // 2
     assert r.identical_ok and r.precision_ok and r.recall_floor_ok
+
+
+def test_simhash_audit_linear_on_all_duplicates_corpus(spark, tmp_path):
+    """r9 verdict #1: simhash_fastpath_audit's identical-multiset
+    containment must stay LINEAR like the minhash audit's — per-group
+    C(c,2) count sums vs the key-equal hamming-0 slice of the fast
+    pairs, never a key.join(key) self-join — so one giant identical
+    group cannot make the audit itself quadratic. Exactness:
+    n_identical = c*(c-1)/2 for the planted group and identical_ok
+    still proves every one of those pairs is in the fast set at
+    hamming 0 via the count-containment equivalence."""
+    import os
+
+    from big_data_processing_spark.plans.extension_queries import (
+        q_simhash_fastpath_audit,
+    )
+
+    c = 25  # one identical group of 25 docs -> 300 expected pairs
+    rows = [(i, DOC_A, "en", "s", len(DOC_A)) for i in range(c)]
+    rows += [
+        (100 + j, f"{DOC_B} variant {j} " + "filler words " * j,
+         "en", "s", 40)
+        for j in range(5)
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = q_simhash_fastpath_audit(spark, d)
+    # the linear rewrite leaves no equi-self-join keyed only on the
+    # group key: every remaining join must carry a doc-id side
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan  # fast-pair containment joins remain
+    rows_out = out.collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r.n_identical == c * (c - 1) // 2
+    assert r.identical_ok and r.precision_floor_ok

@@ -924,3 +924,40 @@ def test_hash64_near_dup_pairs_banding_exact(spark):
     assert (1, 2) in got and got[(1, 2)] == 3
     assert (4, 5) in got and got[(4, 5)] == 1
     assert not any(3 in p for p in got)
+
+
+def test_hash64_near_dup_pairs_any_threshold(spark):
+    """r9 ADVICE: the chunk count derives from max_hamming, so the
+    pigeonhole guarantee holds at ANY threshold — a 4-bit pair with
+    one flipped bit in each of the old 4 fixed 16-bit chunks (the
+    documented silent-false-negative case) MUST appear at
+    max_hamming=4; max_hamming=0 degenerates to an exact-equality
+    join; out-of-range thresholds raise."""
+    import pytest as _pytest
+
+    from big_data_processing_spark.functions.dedup import (
+        hash64_near_dup_pairs,
+    )
+
+    base = 0x0F0F0F0F0F0F0F0F
+    rows = [
+        (1, base),
+        # 4 bits spread across all four 16-bit quarters: invisible
+        # to the old fixed 4-chunk banding, required at threshold 4
+        (2, base ^ (1 << 4) ^ (1 << 20) ^ (1 << 36) ^ (1 << 52)),
+        (3, base),  # exact duplicate for the max_hamming=0 path
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got4 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hash64_near_dup_pairs(df, "id", "h", 4).collect()
+    }
+    assert got4[(1, 2)] == 4 and got4[(2, 3)] == 4 and got4[(1, 3)] == 0
+    got0 = {
+        (r.id_a, r.id_b)
+        for r in hash64_near_dup_pairs(df, "id", "h", 0).collect()
+    }
+    assert got0 == {(1, 3)}
+    for bad in (-1, 64):
+        with _pytest.raises(ValueError):
+            hash64_near_dup_pairs(df, "id", "h", bad)
