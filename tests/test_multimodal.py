@@ -825,7 +825,8 @@ def test_jpeg_restart_intervals_and_odd_dims():
 def test_jpeg_malformed_and_unsupported():
     """ValueError for malformed streams (the mixed-format query's
     junk-JPEG rows rely on this), NotImplementedError for
-    progressive — per-row isolation upstream depends on both."""
+    arithmetic-coded variants — per-row isolation upstream depends
+    on both."""
     import pytest as _pytest
 
     from big_data_processing_spark.functions.multimodal import (
@@ -839,13 +840,127 @@ def test_jpeg_malformed_and_unsupported():
     good = make_jpeg(16, 16, seed=1)
     with _pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated entropy data
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: the baseline full-band scan header
+    # (Ss=0, Se=63) is ILLEGAL in a progressive frame — the
+    # multi-scan decoder must reject it, not misdecode it
     i = good.find(b"\xff\xc0")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2 :])
+    # arithmetic-coded progressive stays an honest refusal
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(good[:i] + b"\xff\xca" + good[i + 2 :])
     # dispatcher routes JPEG magic to the real decoder
     img = decode_image_real(good)
     assert img.shape == (16, 16, 3)
+
+
+def test_jpeg_standalone_markers():
+    """TEM (0x01) and stray RSTn before SOS are standalone markers
+    with NO length word (r9 ADVICE): the walk must skip exactly two
+    bytes, not misparse them as length-prefixed segments."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    good = make_jpeg(16, 16, seed=5)
+    base = decode_jpeg(good)
+    # inject TEM + a stray RST3 right after SOI
+    patched = good[:2] + b"\xff\x01\xff\xd3" + good[2:]
+    assert (decode_jpeg(patched) == base).all()
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) and baseline serializations of the SAME
+    quantized coefficient blocks must decode bit-identically —
+    spectral selection + successive approximation reconstruct every
+    coefficient exactly (r9 verdict #4)."""
+    from big_data_processing_spark.functions.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+        texture_raster,
+    )
+
+    cases = [
+        dict(w=24, h=16, kw=dict(grayscale=True, quality=90)),
+        dict(w=16, h=16, kw=dict(subsampling="4:4:4", quality=100)),
+        dict(w=19, h=13, kw=dict(quality=75, restart_interval=2)),
+        dict(w=40, h=33, kw=dict(quality=50)),
+    ]
+    for i, c in enumerate(cases):
+        base = decode_jpeg(make_jpeg(c["w"], c["h"], seed=i + 1, **c["kw"]))
+        prog = decode_jpeg(
+            make_jpeg(c["w"], c["h"], seed=i + 1, progressive=True,
+                      **c["kw"])
+        )
+        assert base.shape == prog.shape and (base == prog).all(), c
+    t = texture_raster(24, 16, 7)
+    base = decode_jpeg(
+        make_jpeg(24, 16, 7, subsampling="4:4:4", quality=100, raster=t)
+    )
+    prog = decode_jpeg(
+        make_jpeg(24, 16, 7, subsampling="4:4:4", quality=100, raster=t,
+                  progressive=True)
+    )
+    assert (base == prog).all()
+
+
+def test_jpeg_progressive_entropy_paths():
+    """White-box coefficient-level round-trip through EVERY
+    progressive entropy path: EOBRUN > 1 across all-zero blocks,
+    ZRL inside AC-first, double-ZRL inside AC-refine (a newly
+    nonzero coefficient after 34 zero-history positions),
+    correction bits buffered through EOB runs, newly-nonzero
+    coefficients appearing only at the LAST approximation level,
+    negative values, and the same stream again under restart
+    markers. Expected pixels are computed independently via
+    dezigzag + IDCT."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        _JPEG_ZZ,
+        _jpeg_dct_matrix,
+        _jpeg_emit_progressive,
+        decode_jpeg,
+    )
+
+    n = 12  # 48x16 grayscale: 6x2 blocks, unit quant steps
+    blocks = np.zeros((n, 64), dtype=np.int64)
+    blocks[0, :6] = [35, -3, 2, -1, 1, -2]  # dense low band
+    blocks[1, 0] = -17
+    blocks[1, 30] = 9  # 23 zeros inside band 6-63 -> ZRL in first scan
+    blocks[2, 40] = 1  # invisible at Al=1; refine crosses 34 zeros (2 ZRLs)
+    blocks[2, 5] = -1  # newly nonzero only at the last level of band 1-5
+    for i in range(3, 9):  # all-zero AC bands -> EOBRUN accumulation
+        blocks[i, 0] = (i - 6) * 4
+    blocks[9, 6] = -2  # history coefficient: correction bit in refine
+    blocks[9, 63] = 3  # band-edge history bits
+    blocks[10, 1] = -5  # Al=2 first scan value -1, two refine levels
+    blocks[10, 2] = 7
+    # block 11 entirely zero
+
+    qts = [np.ones(64, dtype=np.int32)]
+    zz_r = np.array([r for r, _ in _JPEG_ZZ])
+    zz_c = np.array([c for _, c in _JPEG_ZZ])
+    dct = _jpeg_dct_matrix()
+    blk = np.zeros((n, 8, 8))
+    blk[:, zz_r, zz_c] = blocks
+    spatial = np.einsum("uy,nuv,vx->nyx", dct, blk, dct) + 128.0
+    expect = (
+        spatial.reshape(2, 6, 8, 8).transpose(0, 2, 1, 3).reshape(16, 48)
+    )
+    expect = np.clip(np.round(expect), 0, 255).astype(np.uint8)
+
+    for dri in (0, 5, 1):
+        stream = _jpeg_emit_progressive(
+            48, 16, True, [(1, 1)], [0], qts, [blocks], [0],
+            6, 2, 1, 1, dri,
+        )
+        img = decode_jpeg(stream)
+        assert img.shape == (16, 48)
+        assert (img == expect).all(), f"restart_interval={dri}"
 
 
 def test_image_dhash_properties():
