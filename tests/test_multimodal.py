@@ -117,12 +117,16 @@ def test_decode_image_real_rejects_compressed():
         decode_image_real,
     )
 
-    # WebP stays the honest NotImplementedError (no codec library);
-    # JPEG magic now routes to the REAL baseline decoder, where a
-    # junk body is malformed-stream ValueError, not unsupported
+    # WebP magic now routes to the REAL VP8L decoder: a container
+    # with no image chunk is malformed-stream ValueError; a LOSSY
+    # VP8 chunk stays the honest NotImplementedError (that is a
+    # different codec); junk JPEG bodies stay ValueError
     webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_image_real(webp_magic)
+    lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(lossy)
     with _pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
