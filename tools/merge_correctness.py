@@ -12,6 +12,7 @@ Usage: python tools/merge_correctness.py OUT.json IN1.json IN2.json ...
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -26,7 +27,15 @@ def main() -> int:
         with open(path) as fh:
             rep = json.load(fh)
         sf_dir = rep.get("sf_dir", sf_dir)
-        merged.update(rep["queries"])
+        # r9 verdict #2: stamp every row with the report it came
+        # from, so a carried/merged row is visible in the artifact
+        # itself (not only in the commit message). A row's source is
+        # the LAST report that contributed it.
+        src = os.path.basename(path)
+        for name, row in rep["queries"].items():
+            row = dict(row)
+            row.setdefault("source", rep.get("source", src))
+            merged[name] = row
     failures = [
         name
         for name, row in merged.items()

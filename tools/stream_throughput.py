@@ -22,10 +22,16 @@ What it does:
 
 Usage::
 
-    python tools/stream_throughput.py [sf_dir] [n_files] [files_per_trigger]
+    python tools/stream_throughput.py \
+        [sf_dir] [n_files] [files_per_trigger] [shuffle_partitions]
 
 defaults: /root/testdata/sf0.1, 16 files, 2 files per trigger
-(→ 8 micro-batches of ~12.5K rows each at sf0.1).
+(→ 8 micro-batches of ~12.5K rows each at sf0.1), session-default
+shuffle partitions. The 4th arg overrides
+``spark.sql.shuffle.partitions`` for the window-key exchange (r9
+verdict #6: the state-store partition count is pinned per
+checkpoint, so each run gets a fresh scratch checkpoint keyed by
+the full parameter tuple).
 
 Throughput scales with executor count until the per-micro-batch
 fixed cost (~0.1-0.3 s scheduling + state-store commit) dominates;
@@ -48,6 +54,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     per_trigger = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    shuffle_parts = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     from big_data_processing_spark import get_spark
     from big_data_processing_spark.sources.catalog import load_table
@@ -58,7 +65,11 @@ def main() -> None:
     )
 
     spark = get_spark(app_name="stream-throughput")
-    work = scratch_dir("stream_tp", f"{sf_dir}:{n_files}")
+    if shuffle_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+    work = scratch_dir(
+        "stream_tp", f"{sf_dir}:{n_files}:{per_trigger}:{shuffle_parts}"
+    )
     land, ckpt = f"{work}/landing", f"{work}/ckpt"
 
     events = load_table(spark, sf_dir, "events")
@@ -109,6 +120,9 @@ def main() -> None:
         "n_rows": n_rows,
         "n_files": n_files,
         "files_per_trigger": per_trigger,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
         "n_batches": len(batches),
         "wall_sec": round(wall, 3),
         "rows_per_sec_end_to_end": round(n_rows / wall, 1),
