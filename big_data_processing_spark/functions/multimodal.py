@@ -2533,3 +2533,110 @@ def sample_video_frames_real(
             "mean_pixel double, checksum long, decode_ok boolean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup fingerprint (the image-dHash sibling for sound)
+# ---------------------------------------------------------------------------
+
+
+def wav_from_samples(samples, sample_rate: int = 8000) -> bytes:
+    """Serialize a float array in [-1, 1] (or an int16 array) to a
+    mono PCM16 RIFF/WAVE — the :func:`bmp_from_raster` analogue for
+    audio fixtures whose content is computed, not pattern-generated
+    like :func:`make_wav`'s."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.dtype != np.int16:
+        arr = np.round(
+            np.clip(arr.astype(np.float64), -1.0, 1.0) * 32767
+        ).astype(np.int16)
+    data = arr.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def audio_fingerprint64(samples, sample_rate: int) -> int:
+    """64-bit spectral fingerprint of a decoded clip — the audio
+    sibling of :func:`image_dhash`, built for the SAME banded
+    pairing engine (``functions/dedup.py hash64_near_dup_pairs``):
+    mono-mix → 8 equal time segments → Hann-windowed rFFT per
+    segment → energy in 8 log-spaced bands (200-3800 Hz) → bit
+    (s, b) = 1 iff band b's energy exceeds the segment's mean band
+    energy. Loud-band indicators are GAIN-INVARIANT (the threshold
+    scales with the signal) and robust to requantization noise far
+    below the tonal content — measured: re-gained/dithered and
+    8-bit-requantized renders land at hamming 0, distinct melodic
+    content ≥ 10 apart. Returns a signed 64-bit int (bit 63 two's
+    complement), the ``hash64_near_dup_pairs`` column contract."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr.mean(axis=1)
+    if arr.size < 64:
+        raise ValueError("clip too short for an 8-segment fingerprint")
+    edges = np.geomspace(200.0, 3800.0, 9)
+    v = 0
+    for s, seg in enumerate(np.array_split(arr, 8)):
+        mag2 = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
+        freqs = np.fft.rfftfreq(len(seg), 1.0 / sample_rate)
+        grid = np.array([
+            mag2[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+            for b in range(8)
+        ])
+        thresh = grid.sum() / 8.0
+        for b in range(8):
+            if grid[b] > thresh:
+                v |= 1 << (s * 8 + b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+AUDIO_FP_SCHEMA = "media_id long, afp long, decode_ok boolean"
+
+
+def extract_audio_fingerprint(df: DataFrame) -> DataFrame:
+    """(media_id, afp, decode_ok) over an opaque binary audio
+    column: real RIFF/WAVE decode (:func:`decode_wav`) then
+    :func:`audio_fingerprint64`, Arrow-batched. Malformed or
+    codec-missing rows yield decode_ok = False instead of failing
+    the batch; only 8-byte fingerprints leave the scan stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b):
+            if b is None:
+                return None
+            try:
+                rate, samples = decode_wav(bytes(b))
+                return audio_fingerprint64(samples, rate)
+            except (ValueError, NotImplementedError):
+                return None
+            except Exception:
+                return None
+
+        for pdf in batches:
+            fps = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": fps.astype("Int64"),
+                    "decode_ok": fps.notna(),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=AUDIO_FP_SCHEMA
+    )

@@ -1696,6 +1696,176 @@ def q_image_features_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _afp_melodies(n_groups: int = 32) -> list[list[int]]:
+    """32 deterministic 8-segment band melodies, greedily chosen so
+    every pair differs in >= 5 segments (LCG high bits — the low
+    bits of a power-of-two LCG cycle too fast to search with).
+    Distinct melodies put the fingerprint's loud-band bits >= 10
+    apart; re-renders of the SAME melody land at hamming 0."""
+    out: list[list[int]] = []
+    state = 12345
+
+    def nxt() -> int:
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        return state >> 16
+
+    while len(out) < n_groups:
+        cand = [nxt() % 8 for _ in range(8)]
+        if all(
+            sum(a != b for a, b in zip(cand, m)) >= 5 for m in out
+        ):
+            out.append(cand)
+    return out
+
+
+_AFP_SR = 8000
+_AFP_N = 4096
+
+
+def _afp_signal(g: int):
+    """Group g's melody rendered as one 0.8-amplitude tone per
+    segment, at the geometric center of its fingerprint band."""
+    import numpy as np
+
+    edges = np.geomspace(200.0, 3800.0, 9)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+    t = np.arange(_AFP_N // 8) / _AFP_SR
+    return np.concatenate([
+        0.8 * np.sin(2 * np.pi * centers[b] * t + 0.2 * s)
+        for s, b in enumerate(_afp_melodies()[g])
+    ])
+
+
+def _afp_fixture(i: int) -> bytes:
+    """Audio near-dup fixture mix: 32 melodies × 3 renders — the
+    original PCM16, a half-gain + deterministic-dither re-render
+    (the classic same-master-different-level near-dup), and an
+    8-bit requantized copy written as a REAL PCM8 WAV (a lossy
+    codec loop through decode_wav's unsigned-8-bit branch)."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import (
+        wav_from_samples,
+    )
+
+    g, variant = i // 3, i % 3
+    x = _afp_signal(g)
+    if variant == 0:
+        return wav_from_samples(x, _AFP_SR)
+    if variant == 1:
+        dither = np.sin(np.arange(_AFP_N) * (g + 17) * 1.7) * 0.01
+        return wav_from_samples(0.5 * x + dither, _AFP_SR)
+    # PCM8: header for unsigned 8-bit mono
+    import struct
+
+    u8 = (
+        np.round(np.clip(x, -1, 1) * 127) + 128
+    ).astype(np.uint8).tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(u8)) + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, _AFP_SR, _AFP_SR, 1, 8)
+        + b"data" + struct.pack("<I", len(u8)) + u8
+    )
+
+
+def _afp_oracle_values() -> str:
+    """Regenerate the expected (id_a, id_b, hamming) pairs at
+    registration from the same pure decode→fingerprint functions
+    the executors run — brute-force hamming <= 5 truth equals the
+    banded plan's output because 6-chunk banding is pigeonhole-
+    lossless at threshold 5 (the r10 generalized guarantee)."""
+    from big_data_processing_spark.functions.multimodal import (
+        audio_fingerprint64,
+        decode_wav,
+    )
+
+    fps = {}
+    for i in range(96):
+        rate, samples = decode_wav(_afp_fixture(i))
+        fps[i] = audio_fingerprint64(samples, rate)
+    rows = []
+    for a in range(96):
+        for b in range(a + 1, 96):
+            d = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 5:
+                rows.append(f"({a}, {b}, {d})")
+    return ", ".join(rows)
+
+
+@register(
+    "audio_near_dup_fp",
+    f"""
+    WITH expected(id_a, id_b, hamming) AS (VALUES {{afp_values}})
+    SELECT e.id_a, e.id_b, CAST(e.hamming AS BIGINT) AS hamming
+    FROM expected e
+    JOIN documents da ON da.doc_id = e.id_a
+    JOIN documents db ON db.doc_id = e.id_b
+    ORDER BY e.id_a, e.id_b
+    """.replace("{afp_values}", _afp_oracle_values()),
+    doc="Audio-level near-dedup over REAL decoded samples — the "
+    "sound sibling of image_near_dup_phash, sharing the banded "
+    "64-bit pairing engine at a NON-DEFAULT threshold: per doc one "
+    "of 96 fixtures (32 tone melodies × {original PCM16, half-gain "
+    "+ dither re-render, 8-bit requantized PCM8}) is decoded by "
+    "decode_wav, reduced to a 64-bit spectral fingerprint "
+    "(multimodal.py audio_fingerprint64 — 8 time segments × 8 "
+    "log-band loud-bit indicators, gain-invariant) in an "
+    "Arrow-batched kernel, and paired by hash64_near_dup_pairs at "
+    "max_hamming=5 — six derived bands, exercising the r10 "
+    "generalized pigeonhole banding in a registered query, not "
+    "just a unit test. Only (id, 8-byte fingerprint) rows shuffle; "
+    "audio bytes stay in the scan stage. The oracle regenerates "
+    "every expected pair at registration. Measured: re-renders at "
+    "hamming 0, distinct melodies >= 10 apart — the fingerprint "
+    "discriminates across a real gain/requantization loop",
+)
+def q_audio_near_dup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.dedup import (
+        hash64_near_dup_pairs,
+    )
+    from big_data_processing_spark.functions.multimodal import (
+        extract_audio_fingerprint,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 96),
+        "doc_id",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda i: _afp_fixture(int(i))
+                    ),
+                }
+            )
+
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    hashes = spread(
+        extract_audio_fingerprint(media).filter("decode_ok"), "media_id"
+    ).localCheckpoint(eager=False)
+    return (
+        hash64_near_dup_pairs(hashes, "media_id", "afp", max_hamming=5)
+        .select(
+            "id_a", "id_b",
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _recompress_raster(g: int, w: int = 32, h: int = 24):
     """Sinusoid texture with seed-dependent FREQUENCY and phase —
     unlike the additive-seed quadratic textures (whose horizontal

@@ -1080,3 +1080,47 @@ def test_hash64_near_dup_pairs_any_threshold(spark):
     for bad in (-1, 64):
         with _pytest.raises(ValueError):
             hash64_near_dup_pairs(df, "id", "h", bad)
+
+
+def test_audio_fingerprint_contract():
+    """audio_fingerprint64: gain-invariant (loud-band threshold
+    scales with the signal), stable under 8-bit requantization,
+    discriminates distinct melodies, and rejects too-short clips.
+    The PCM8 codec loop goes through the REAL decode_wav unsigned
+    branch."""
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        audio_fingerprint64,
+        decode_wav,
+        wav_from_samples,
+    )
+    from big_data_processing_spark.plans.extension_queries import (
+        _afp_fixture,
+        _afp_signal,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h = {}
+    for g in (0, 1, 5):
+        for v in range(3):
+            rate, samples = decode_wav(_afp_fixture(3 * g + v))
+            h[(g, v)] = audio_fingerprint64(samples, rate)
+    for g in (0, 1, 5):
+        assert ham(h[(g, 0)], h[(g, 1)]) <= 5  # gain + dither
+        assert ham(h[(g, 0)], h[(g, 2)]) <= 5  # 8-bit requantize
+    assert ham(h[(0, 0)], h[(1, 0)]) >= 10
+    assert ham(h[(0, 0)], h[(5, 0)]) >= 10
+    # pure gain change is EXACTLY invariant
+    x = _afp_signal(2)
+    r, s = decode_wav(wav_from_samples(x))
+    r2, s2 = decode_wav(wav_from_samples(0.25 * x))
+    assert audio_fingerprint64(s, r) == audio_fingerprint64(s2, r2)
+    # stereo mixes down; short clips raise
+    stereo = np.stack([np.asarray(s), np.asarray(s)], axis=1)
+    assert audio_fingerprint64(stereo, r) == audio_fingerprint64(s, r)
+    with _pytest.raises(ValueError):
+        audio_fingerprint64(np.zeros(10), 8000)
