@@ -102,7 +102,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             record(name, err=f"spark: {e}")
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark error: {e}", flush=True)
             continue
         finally:
             # free leaked localCheckpoint blocks between queries
@@ -112,26 +112,26 @@ def main() -> int:
             release_leaked_checkpoints(spark, pinned_rdd_ids())
         if spec.oracle is None:
             record(name, s_rows=len(sdf), err="no_oracle")
-            print(f"ok   {name}: rows-only ({len(sdf)} rows)")
+            print(f"ok   {name}: rows-only ({len(sdf)} rows)", flush=True)
             continue
         try:
             odf = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             record(name, s_rows=len(sdf), err=f"oracle: {e}")
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: oracle error: {e}", flush=True)
             continue
         s, o = normalize(sdf), normalize(odf)
         if len(s) != len(o):
             failures.append(name)
             record(name, rows=False, s_rows=len(s), o_rows=len(o))
-            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}", flush=True)
             continue
         if list(s.columns) != list(o.columns):
             failures.append(name)
             record(name, rows=True, schema=False, s_rows=len(s),
                    o_rows=len(o))
-            print(f"FAIL {name}: cols {list(s.columns)} vs {list(o.columns)}")
+            print(f"FAIL {name}: cols {list(s.columns)} vs {list(o.columns)}", flush=True)
             continue
         sv, ov = value_repr(s), value_repr(o)
         if sv != ov:
@@ -139,7 +139,7 @@ def main() -> int:
             ndiff = sum(1 for a, b in zip(sv, ov) if a != b)
             record(name, rows=True, schema=True, values=False,
                    s_rows=len(s), o_rows=len(o))
-            print(f"FAIL {name}: values differ ({ndiff}/{len(sv)} rows)")
+            print(f"FAIL {name}: values differ ({ndiff}/{len(sv)} rows)", flush=True)
             for a, b in zip(sv, ov):
                 if a != b:
                     print(f"  spark : {a}")
@@ -148,7 +148,7 @@ def main() -> int:
         else:
             record(name, rows=True, schema=True, values=True,
                    s_rows=len(s), o_rows=len(o))
-            print(f"ok   {name}: {len(s)} rows, {len(s.columns)} cols")
+            print(f"ok   {name}: {len(s)} rows, {len(s.columns)} cols", flush=True)
 
     if json_out:
         with open(json_out, "w") as fh:
