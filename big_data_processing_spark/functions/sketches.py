@@ -122,3 +122,107 @@ def heavy_hitters(
         .filter(F.col("n") > F.lit(threshold_frac) * F.col("_total"))
         .drop("_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: str, num_bits: int, num_hashes: int) -> list:
+    """The k bit positions of one key: pmod(xxhash64(key, seed_i),
+    m). Seeding xxhash64 with the hash index gives k independent
+    hash functions from the one JVM intrinsic — no Python in the
+    row path."""
+    return [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_bitmap(
+    keys: DataFrame, col: str, num_bits: int = 1 << 16, num_hashes: int = 5
+) -> list[int]:
+    """Aggregate a Bloom-filter bitmap over ``keys[col]`` as
+    ``num_bits / 64`` longs.
+
+    Distributed build: each key explodes to its k bit positions,
+    positions group to 64-bit words, ``bit_or`` folds each word's
+    masks map-side, and the collect is bounded by the FILTER size
+    (num_bits/64 rows — 8 KiB of longs at the default 2^16 bits),
+    never by the key count. This is the repo's bounded-collect
+    contract: driver memory holds the sketch, not the data.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = _bloom_positions(col, num_bits, num_hashes)
+    words = (
+        keys.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT inner join with a Bloom-filter semi-join reduction on
+    the fact side.
+
+    The classic 100 TB shuffle cut: when the dim side is selective
+    (a filtered dimension) and the fact side is the huge table, a
+    plain join still scans and shuffles every fact row before the
+    join discards the misses. Here a Bloom bitmap of the dim keys
+    (built distributed, collected bounded — see :func:`bloom_bitmap`)
+    is embedded as a literal array and applied as a plain JVM
+    filter expression AT THE FACT SCAN, so non-matching fact rows
+    die before the exchange. False positives pass the bitmap but
+    are removed by the real join that follows — the result is
+    EXACTLY the inner join, which is what makes this oracle-checkable
+    against plain SQL. With m=2^16 bits and k=5 hashes the false-
+    positive rate stays < 1% up to ~5.5K dim keys (p ≈ (1−e^{−kn/m})^k);
+    size ``num_bits`` ~ 14·|dim keys| to hold that rate at scale.
+
+    Spark can inject this automatically on shuffle joins
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), but only
+    below creation-size thresholds and never through a Python
+    boundary; this operator makes the reduction explicit, plannable
+    and testable. The dim side is broadcast for the residual join —
+    the prefilter only pays off when dim is small, which is the same
+    regime where broadcast is right.
+    """
+    bitmap = bloom_bitmap(
+        dim.select(dim_key).distinct(), dim_key, num_bits, num_hashes
+    )
+    test = bloom_membership(fact_key, bitmap, num_hashes)
+    return fact.filter(test).join(
+        F.broadcast(dim), fact[fact_key] == dim[dim_key]
+    )
+
+
+def bloom_membership(key: str, bitmap: list[int], num_hashes: int = 5):
+    """Column expression: might ``key`` be in the set ``bitmap`` was
+    built from? Pure JVM expressions (xxhash64 / element_at /
+    getbit) over a literal array — whole-stage-codegen-friendly and
+    pushable to the scan side of a join."""
+    num_bits = len(bitmap) * 64
+    words = F.array(*[F.lit(w) for w in bitmap])
+    test = F.lit(True)
+    for pos in _bloom_positions(key, num_bits, num_hashes):
+        word = F.element_at(words, (pos / 64).cast("int") + 1)
+        test = test & (F.getbit(word, F.pmod(pos, F.lit(64))) == 1)
+    return test

@@ -4486,3 +4486,202 @@ def q_sampler_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("in_bounds"),
     )
     return bern.unionByName(strat).orderBy("stratum")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction + streaming exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_semi_join_revenue",
+    """
+    SELECT date_trunc('month', o.o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 7000
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Bloom-filter semi-join reduction (functions/sketches.py "
+    "bloom_prefilter_join): monthly revenue from high-balance "
+    "BUILDING-segment customers. The selective dim side is folded "
+    "into a 2^17-bit Bloom bitmap (distributed bit_or build, "
+    "bounded 16 KiB collect) and applied as a literal JVM filter "
+    "expression AT THE ORDERS SCAN, so ~93% of fact rows die "
+    "before the join exchange; false positives are removed by the "
+    "broadcast join that follows, making the result EXACTLY the "
+    "plain inner join the oracle runs. The 100 TB play: cut the "
+    "fact shuffle with a sketch the driver can hold, a pattern "
+    "Spark's own runtime bloom injection only applies under "
+    "size thresholds and never across a Python-built frame",
+)
+def q_bloom_semi_join_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_processing_spark.functions.sketches import (
+        bloom_prefilter_join,
+    )
+    from big_data_processing_spark.operators.aggregates import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 7000)
+        )
+        .select("c_custkey")
+    )
+    joined = bloom_prefilter_join(
+        orders, "o_custkey", dim, "c_custkey", num_bits=1 << 17
+    )
+    return (
+        joined.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "streaming_dedup_parity",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events ORDER BY event_id
+    """,
+    doc="Streaming EXACT-DEDUP parity, value-checked end-to-end: "
+    "the REAL dropDuplicatesWithinWatermark pipeline "
+    "(streaming/dedup.py dedup_stream — watermark-bounded key "
+    "state, the at-least-once -> exactly-once repair for replayed "
+    "sources) runs over the events stream delivered as 4 in-order "
+    "time-range chunks PLUS a 5th re-delivery file that replays "
+    "the last hour's rows VERBATIM (Kafka-redelivery shape: dups "
+    "arrive close to the originals, inside the 2h watermark "
+    "horizon, so suppression happens in STATE, not via the late "
+    "filter). The memory sink must hold exactly one row per "
+    "event_id — the original corpus — or the hash breaks; a "
+    "dedup-state regression (key eviction too early, fingerprint "
+    "drift) would emit the replayed rows and double the tail hour. "
+    "Verbatim re-delivery keeps the check exact: whichever copy "
+    "wins the first-arrival race carries identical column values",
+)
+def q_streaming_dedup_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as globmod
+    import os
+    import shutil
+
+    from big_data_processing_spark.sources.maintenance import (
+        scratch_dir,
+    )
+    from big_data_processing_spark.streaming.dedup import dedup_stream
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    work = scratch_dir("sdp_chunks", sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    events.repartitionByRange(4, "ts").write.parquet(f"{work}/chunks")
+    # one bounded scalar: the corpus max ts places the re-delivery cut
+    tmax = events.agg(F.max("ts")).collect()[0][0]
+    redeliver = events.filter(
+        F.col("ts") > F.lit(tmax) - F.expr("INTERVAL 1 HOUR")
+    )
+    redeliver.coalesce(1).write.parquet(f"{work}/dups")
+    dup_part = globmod.glob(f"{work}/dups/part-*.parquet")[0]
+    shutil.copy(dup_part, f"{work}/chunks/part-00009-redelivery.parquet")
+    # FileStreamSource orders by mtime; pin chunks ascending and the
+    # re-delivery file last so every replayed row arrives AFTER its
+    # original (deterministic first-arrival) while its ts stays above
+    # the lagged watermark (tmax-2h after chunk 4) — state suppression,
+    # not late-drop, is what this row exercises.
+    for i, p in enumerate(
+        sorted(globmod.glob(f"{work}/chunks/part-*.parquet"))
+    ):
+        os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    stream = read_event_stream(
+        spark, f"{work}/chunks", glob="part-*.parquet"
+    )
+    deduped = dedup_stream(
+        stream, ["event_id"], ts_col="ts", watermark="2 hours"
+    )
+    got = run_stream_to_memory(deduped, "sdp", output_mode="append")
+    return got.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).orderBy("event_id")
+
+
+@register(
+    "bpe_tokenize",
+    None,  # token ids are merge-table-dependent — rows-only; the
+    # lossless contract is hash-checked next door in
+    # bpe_roundtrip_audit (the repo's rows-only-needs-an-audit rule)
+    doc="REAL trained BPE tokenization (functions/tokenize.py): "
+    "merges learned driver-side from a deterministic bounded "
+    "sample (first 512 docs by doc_id — the production shape: "
+    "tokenizers train on a sample, apply at corpus scale), then "
+    "applied distributed via Arrow-batched mapInPandas with "
+    "broadcast merge ranks and per-batch word memoization. "
+    "Embarrassingly parallel — no shuffle in the apply path",
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.tokenize import (
+        bpe_encode_table,
+        corpus_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus_bpe_merges(spark, docs, sf_dir)
+    return (
+        bpe_encode_table(docs, "text", "doc_id", merges)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.slice("tokens", 1, 8).alias("first_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "bpe_roundtrip_audit",
+    r"""
+    SELECT count(*) AS n_docs,
+           count(*) AS n_roundtrip_ok,
+           count(*) FILTER (
+             WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
+           ) AS n_tokenized
+    FROM documents
+    """,
+    doc="Hash-checked lossless contract for the BPE tokenizer "
+    "(pairs the rows-only bpe_tokenize): decode(encode(text)) must "
+    "equal the whitespace-normalized text for EVERY document "
+    "(n_roundtrip_ok = n_docs), and every document with a "
+    "non-whitespace character must produce tokens. The booleans "
+    "are computed row-by-row on the executors; only three longs "
+    "reach the driver. A merge-application bug, a decode drift, "
+    "or a dropped word breaks this row at any sf",
+)
+def q_bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.tokenize import (
+        bpe_encode_table,
+        bpe_roundtrip_report,
+        corpus_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus_bpe_merges(spark, docs, sf_dir)
+    return bpe_roundtrip_report(
+        bpe_encode_table(docs, "text", "doc_id", merges)
+    )

@@ -344,3 +344,18 @@ def test_md5_minhash_signatures_zero_shuffle(spark):
     assert all(e == "RoundRobinPartitioning" for e in exchanges), plan
     assert "HashAggregate" not in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bloom_prefilter_filters_fact_before_broadcast_join(spark):
+    """bloom_semi_join_revenue: the explicit Bloom membership test
+    (getbit over the literal bitmap) must sit ON THE FACT SCAN SIDE
+    as a plain Filter — fact rows die before the join — and the
+    residual exact join must be broadcast, not shuffled."""
+    plan = _plan(SPECS["bloom_semi_join_revenue"].fn(spark, SF0001))
+    assert "getbit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the membership filter references the fact key, i.e. it was not
+    # hoisted above the join
+    filt = [l for l in plan.splitlines() if "getbit" in l]
+    assert any("o_custkey" in l for l in filt), filt

@@ -103,6 +103,48 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     assert got == {1, 4}
 
 
+def test_bloom_prefilter_join_exact_vs_plain_join(spark):
+    from big_data_processing_spark.functions.sketches import (
+        bloom_prefilter_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 500, i) for i in range(5000)], "k long, payload long"
+    ).repartition(8)
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 500, 25)], "dk long, label string"
+    )
+    got = sorted(
+        (r.k, r.payload, r.label)
+        for r in bloom_prefilter_join(fact, "k", dim, "dk").collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.label)
+        for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert got == want and len(got) == 200  # 20 dim keys × 10 copies
+
+
+def test_bloom_membership_no_false_negatives_and_low_fpp(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.sketches import (
+        bloom_bitmap,
+        bloom_membership,
+    )
+
+    members = spark.range(0, 200).select(F.col("id").alias("k"))
+    bitmap = bloom_bitmap(members, "k")
+    assert len(bitmap) == (1 << 16) // 64
+    # every inserted key passes (Bloom's no-false-negative contract)
+    n_in = members.filter(bloom_membership("k", bitmap)).count()
+    assert n_in == 200
+    # non-members pass only at the (tiny at n=200, m=2^16) FP rate
+    outsiders = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
+    n_fp = outsiders.filter(bloom_membership("k", bitmap)).count()
+    assert n_fp < 20  # expected ≈ 20000 · (1-e^{-5·200/65536})^5 ≈ 0.002
+
+
 def test_mg_bound_property_random_streams():
     """Property: for ANY stream and batch split, capacity-k MG
     undercounts every key by at most n/(k+1) and never overcounts
