@@ -243,6 +243,106 @@ def tfidf_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: dict[str, list[str]],
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck-Jones, the Okapi weighting):
+    score every document against each bag-of-terms query, keep the
+    top ``k`` per query with deterministic tie-breaks.
+
+    Plan shape — the inverted-index build a search/RAG pipeline
+    runs, with the query-term filter applied AT THE EXPLODE, before
+    any shuffle:
+
+    - tokenize once per doc, carry doc length ``dl`` beside the
+      exploded tokens;
+    - ``token IN (query terms)`` prunes the exploded stream
+      immediately (the term set is a literal ``isin`` — pushed into
+      the generate stage, so at 100 TB only postings for the handful
+      of query terms ever reach an exchange);
+    - tf = groupBy(doc, term) and df = distinct-doc count per term —
+      both partial-agg (map-side combine) over the pruned stream;
+    - query list is a tiny literal frame, broadcast onto the
+      postings; per-(query, doc) score is one more partial agg.
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the always-
+    positive BM25+ variant); term score =
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``. ``avgdl``
+    is computed exactly (long token total / long doc count — one
+    bounded scalar job) so any SQL engine reproduces the same
+    double. Scores are rounded to 6 dp BEFORE ranking: ranks depend
+    on the rounded value + id tie-break, never on last-ulp sum
+    order."""
+    spark = df.sparkSession
+    toked = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    ).localCheckpoint(eager=False)
+    # exact scalars: token total and doc count are longs
+    totals = toked.agg(
+        F.sum(F.size("t")).alias("tot"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n_docs, avgdl = int(totals["n"]), float(totals["tot"]) / int(totals["n"])
+    qterms = sorted({t for ts in queries.values() for t in ts})
+    posting = (
+        toked.select(
+            F.col(id_col), F.size("t").alias("dl"), F.explode("t").alias("token")
+        )
+        .filter(F.col("token").isin(qterms))
+    )
+    tf = posting.groupBy(id_col, "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    docfreq = (
+        posting.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id string, token string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfpart = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    term_scores = (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(F.broadcast(qdf), "token")
+        .select("query_id", id_col, (idf * tfpart).alias("s"))
+    )
+    from pyspark.sql.window import Window
+
+    scored = term_scores.groupBy("query_id", id_col).agg(
+        F.round(F.sum("s"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, "score", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str,

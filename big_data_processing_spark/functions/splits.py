@@ -58,6 +58,43 @@ def hash_split(
     )
 
 
+def grouped_hash_split(
+    df: DataFrame,
+    group_col: str,
+    train_16ths: int = 10,
+    val_16ths: int = 3,
+) -> DataFrame:
+    """Group-disjoint train/val/test assignment: the split decision
+    hashes the GROUP key (source domain, site, author), so every
+    document of a group lands in the same split — the leakage-free
+    split a training pipeline needs when near-duplicate documents
+    cluster within groups (per-document hashing would scatter a
+    domain's near-identical pages across train AND val, leaking
+    eval content into training).
+
+    Same md5-hex-digit mechanics as ``hash_split``: deterministic,
+    engine-independent, stable under corpus growth — a new document
+    of a known group inherits the group's split. Pure projection:
+    no shuffle, no state; at 100 TB the assignment is free and the
+    disjointness is structural (a function of the group key alone),
+    not something a join has to verify."""
+    if not (0 < train_16ths and 0 < val_16ths
+            and train_16ths + val_16ths < 16):
+        raise ValueError(
+            "need 0 < train_16ths, 0 < val_16ths, sum < 16; got "
+            f"{train_16ths}, {val_16ths}"
+        )
+    h = _hex_bucket(F.col(group_col), 1)
+    t_hi = format(train_16ths, "x")
+    v_hi = format(train_16ths + val_16ths, "x")
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(t_hi), "train")
+        .when(h < F.lit(v_hi), "val")
+        .otherwise("test"),
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,

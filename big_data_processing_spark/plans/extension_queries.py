@@ -2894,6 +2894,44 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_disjoint_split",
+    """
+    SELECT CASE WHEN substr(md5(CAST(source AS VARCHAR)), 1, 1) < 'a'
+                THEN 'train'
+                WHEN substr(md5(CAST(source AS VARCHAR)), 1, 1) < 'd'
+                THEN 'val' ELSE 'test' END AS split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    doc="Leakage-free split: hash the GROUP key (source domain) so "
+    "every document of a group lands in the same split — "
+    "per-document hashing would scatter a domain's near-identical "
+    "pages across train AND val. Disjointness is structural (the "
+    "split is a pure function of the group key), verified here by "
+    "the per-split distinct-group counts; one projection + one "
+    "partial agg, free at 100 TB",
+)
+def q_group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.splits import (
+        grouped_hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        grouped_hash_split(docs, "source", 10, 3)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "source_mixture_sample",
     """
     SELECT doc_id, lang, source FROM documents

@@ -463,3 +463,81 @@ def q_compression_ratio_hygiene(
 
     docs = ids.mapInPandas(synth, schema="doc_id long, text string")
     return compression_ratio(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# BM25 retrieval: fixed bag-of-terms queries over the corpus vocab
+# (terms chosen to exist at every sf). Literal dict so the oracle
+# VALUES list and the Spark frame are built from the same source.
+BM25_QUERIES = {
+    "q_hash_join": ["hash", "join"],
+    "q_merge_batch": ["merge", "batch"],
+    "q_stream_window": ["stream", "window"],
+    "q_vector_scan": ["vector", "scan", "filter"],
+}
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 3
+_BM25_TERMS = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts})
+)
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, ts in sorted(BM25_QUERIES.items())
+    for t in ts
+)
+
+
+@register(
+    "bm25_retrieval_topk",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, {TOKS_SQL} AS t FROM documents
+    ), stats AS (
+      SELECT CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl,
+             CAST(count(*) AS DOUBLE) AS n FROM tokd
+    ), hits AS (
+      SELECT doc_id, dl, token FROM (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tokd
+      ) WHERE token IN ({_BM25_TERMS})
+    ), tf AS (
+      SELECT doc_id, dl, token, count(*) AS tf
+      FROM hits GROUP BY 1, 2, 3
+    ), docfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+    ), q(query_id, token) AS (VALUES {_BM25_VALUES}),
+    term_scores AS (
+      SELECT q.query_id, tf.doc_id,
+             ln(CAST(1.0 AS DOUBLE)
+                + (stats.n - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * ((CAST(tf AS DOUBLE) * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+                / (CAST(tf AS DOUBLE)
+                   + CAST({_BM25_K1!r} AS DOUBLE)
+                     * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                        + CAST({_BM25_B!r} AS DOUBLE)
+                          * (CAST(dl AS DOUBLE) / stats.avgdl)))) AS s
+      FROM tf JOIN docfreq USING (token) JOIN q ON q.token = tf.token
+           CROSS JOIN stats
+    ), scored AS (
+      SELECT query_id, doc_id, round(sum(s), 6) AS score
+      FROM term_scores GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_K} ORDER BY query_id, rank
+    """,
+    doc="BM25 top-k retrieval (Okapi weighting, BM25+ idf): four "
+    "bag-of-terms queries scored against every document; the "
+    "query-term IN-filter prunes the exploded postings BEFORE any "
+    "shuffle, tf/df are partial aggs over the pruned stream, the "
+    "query list broadcasts. Scores rounded to 6 dp before ranking "
+    "so ranks never depend on last-ulp sum order",
+)
+def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.hygiene import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "text", "doc_id", BM25_QUERIES,
+        k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    ).orderBy("query_id", "rank")

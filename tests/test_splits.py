@@ -257,3 +257,78 @@ def test_quantize_embeddings_roundtrip(spark):
         assert all(abs(c) <= 127 for c in q)
         for orig, code in zip(emb, q):
             assert abs(orig - scale * code / 127.0) <= scale / 254 + 1e-9
+
+
+def test_grouped_hash_split_disjoint_and_stable(spark):
+    """Every group lands in exactly one split (the leakage-free
+    contract), and adding documents to a group never moves it."""
+    import pytest
+
+    from big_data_processing_spark.functions.splits import (
+        grouped_hash_split,
+    )
+
+    docs = load_table(spark, SF0001, "documents")
+    assigned = grouped_hash_split(docs, "source", 10, 3)
+    per_group = (
+        assigned.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert per_group and all(r.n_splits == 1 for r in per_group)
+    # all three labels only; group assignment is a pure function of
+    # the key, so a half corpus assigns identically
+    labels = {r.split for r in assigned.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    half = grouped_hash_split(
+        docs.filter("doc_id % 2 = 0"), "source", 10, 3
+    )
+    full_map = {
+        (r.source, r.split)
+        for r in assigned.select("source", "split").distinct().collect()
+    }
+    half_map = {
+        (r.source, r.split)
+        for r in half.select("source", "split").distinct().collect()
+    }
+    assert half_map <= full_map
+    for bad in [(0, 3), (13, 3), (10, 0), (16, 1)]:
+        with pytest.raises(ValueError):
+            grouped_hash_split(docs, "source", *bad)
+
+
+def test_bm25_topk_ranking_contract(spark):
+    """Top-1 for a single-term query is the doc that repeats the
+    term most (all else equal); output bounded by k; deterministic
+    across row orders."""
+    from big_data_processing_spark.functions.hygiene import bm25_topk
+
+    rows = [
+        (0, "apple apple apple apple banana"),
+        (1, "apple banana cherry date elderberry"),
+        (2, "banana cherry date elderberry fig"),
+        (3, "cherry date elderberry fig grape"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(
+        docs, "text", "doc_id", {"qa": ["apple"], "qb": ["banana"]}, k=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert [r.doc_id for r in by_q["qa"]] == [0, 1]  # tf 4 beats tf 1
+    assert len(by_q["qa"]) <= 2 and len(by_q["qb"]) <= 2
+    assert all(r.score > 0 for r in out)
+    # shorter doc wins at equal tf: doc 1 vs a padded twin
+    rows2 = rows + [(4, "banana " + "pad " * 40)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = bm25_topk(docs2, "text", "doc_id", {"qb": ["banana"]}, k=4)
+    got = [r.doc_id for r in out2.collect()]
+    assert got.index(2) < got.index(4)  # 5-token doc beats 41-token doc
+    # deterministic under shuffling
+    out3 = bm25_topk(
+        docs2.orderBy(F.rand(11)), "text", "doc_id", {"qb": ["banana"]}, k=4
+    )
+    assert [tuple(r) for r in out2.collect()] == [
+        tuple(r) for r in out3.collect()
+    ]
