@@ -755,3 +755,220 @@ def quantize_embeddings(
         )
         .select(id_col, "scale", F.to_json("__q").alias("q"))
     )
+
+
+def _train_pq_codebooks(vecs, m: int, ksub: int, iters: int = 8):
+    """Driver-side product-quantizer training (Jégou et al. 2011):
+    unit-normalize the sample, split the dimension into ``m``
+    contiguous subspaces, and run an L2 k-means per subspace.
+    Deterministic: init is the first ``ksub`` distinct subvectors
+    (sample order is the caller's orderBy(id).limit), empty cells
+    keep their previous centroid. Returns (m, ksub, dsub) float64.
+
+    Like IVF training, quantizer quality needs only a sample — the
+    cost is independent of corpus size."""
+    import numpy as np
+
+    mat = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        # distinct-first deterministic init
+        _, first = np.unique(sub, axis=0, return_index=True)
+        init = sub[np.sort(first)][:ksub]
+        cent = np.zeros((ksub, dsub))
+        cent[: len(init)] = init
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    train_limit: int = 4096,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-compression scale path next to IVF's
+    list-pruning one:
+
+    1. train ``m`` per-subspace codebooks on a bounded,
+       deterministic sample (driver numpy, corpus-size-independent);
+    2. encode every corpus vector distributed (Arrow-batched argmin
+       per subspace) into ``m`` byte codes — dim×4 bytes collapse to
+       m bytes, the representation that lets 100 TB of float
+       embeddings live in cluster memory; only (id, codes) ever
+       shuffles, never vectors;
+    3. score queries against codes via lookup tables: each query
+       precomputes its subvector·centroid dot products (m×ksub
+       doubles), so the approximate cosine of a corpus item is m
+       table lookups + a sum — no float vectors touched at scan
+       time. Per-batch local top-k bounds the exchange to
+       batches×|queries|×k rows, then a global window ranks.
+
+    Vectors are unit-normalized on both sides, so the summed table
+    lookups approximate cosine directly. Returns (query_id, id, pq_cos,
+    rank) — rank by (rounded score desc, id), the house tie-break.
+    Approximate by construction (quantization is lossy) → pair with
+    the hash-checked recall-floor audit."""
+    import numpy as np
+    import pandas as pd
+
+    train = [
+        r[0]
+        for r in corpus.select(vec_col)
+        .orderBy(id_col)
+        .limit(train_limit)
+        .collect()
+    ]
+    books = _train_pq_codebooks(train, m=m, ksub=ksub)
+    dsub = books.shape[2]
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(books)
+
+    # query LUTs are tiny (|Q| × m × ksub doubles): build driver-side
+    # from the same normalized geometry and broadcast
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qmat = qmat / qnorm[:, None]
+    # luts[q, j, c] = q_subvec_j · codebook[j, c]
+    luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m, dsub), books)
+    bc_luts = sc.broadcast((qids, luts))
+
+    def encode_kernel(batches):
+        cent = np.asarray(bc.value)  # (m, ksub, dsub)
+        for pdf in batches:
+            matb = np.array(list(pdf[vec_col]), dtype=np.float64)
+            normb = np.linalg.norm(matb, axis=1)
+            normb[normb == 0] = 1.0
+            matb = matb / normb[:, None]
+            subs = matb.reshape(len(matb), m, dsub)
+            # (n, m, ksub) squared distances → argmin codes
+            d2 = ((subs[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(
+                axis=3
+            )
+            codes = np.argmin(d2, axis=2).astype("int32")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    def score_kernel(batches):
+        ids_q, tables = bc_luts.value
+        jidx = np.arange(m)
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            for qi, qid in enumerate(ids_q):
+                scores = tables[qi][jidx[None, :], codes].sum(axis=1)
+                keep = ids != qid
+                s, i = scores[keep], ids[keep]
+                # batch-local top-k on the ROUNDED score with the id
+                # tie-break, so the local cut can never drop a row
+                # the global (score desc, id) rank would keep
+                sr = np.round(s, ndigits)
+                order = np.lexsort((i, -sr))[:k]
+                out_q.extend([qid] * len(order))
+                out_i.extend(i[order])
+                out_s.extend(sr[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    id_col: pd.Series(out_i, dtype="int64"),
+                    "pq_cos": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    encoded = spread(corpus.select(id_col, vec_col), id_col).mapInPandas(
+        encode_kernel, schema=f"{id_col} long, codes array<int>"
+    )
+    scored = encoded.mapInPandas(
+        score_kernel,
+        schema=f"query_id long, {id_col} long, pq_cos double",
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("pq_cos").desc(), F.col(id_col)],
+        k,
+    ).select("query_id", id_col, "pq_cos", "rank")
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 16,
+    ksub: int = 64,
+    train_limit: int = 4096,
+    ndigits: int = 8,
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production two-stage ANN
+    shape: ADC scans the compressed codes for a ``shortlist`` of
+    candidates per query (memory-bound stage: m-byte codes, no float
+    vectors), then ONLY those candidates' float vectors are fetched
+    (an equi-join on id — |queries|×shortlist rows, corpus-size-
+    independent) and re-scored with the exact JVM-side cosine.
+
+    Final ranking quality equals exact search whenever the true
+    top-k survives into the shortlist (recall@shortlist, audited by
+    the PQ recall-floor query); the exact re-score removes all
+    quantization error from the RETURNED scores, so downstream
+    thresholds see true cosines. Same output contract as the other
+    top-k paths: (query_id, id, cos, rank), rounded-then-ranked."""
+    cands = pq_adc_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=shortlist,
+        m=m,
+        ksub=ksub,
+        train_limit=train_limit,
+        ndigits=6,
+    ).select("query_id", id_col)
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    rescored = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col(vec_col)), ndigits).alias(
+                "cos"
+            ),
+        )
+    )
+    return topk_per_group(
+        rescored,
+        ["query_id"],
+        [F.col("cos").desc(), F.col(id_col)],
+        k,
+    ).select("query_id", id_col, "cos", "rank")

