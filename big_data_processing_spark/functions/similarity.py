@@ -972,3 +972,111 @@ def pq_rerank_topk(
         [F.col("cos").desc(), F.col(id_col)],
         k,
     ).select("query_id", id_col, "cos", "rank")
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    ndigits: int = 8,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the near-misses a contrastive loss learns the most from
+    (easy negatives are already far; in-label neighbors are
+    positives, not negatives).
+
+    Same broadcast nested-loop shape as the exact top-k (query set
+    broadcasts, corpus streams once, zero corpus shuffle); the label
+    test rides the same filter as the self-exclusion. At scale the
+    corpus side swaps for any ANN path here (PQ shortlist, IVF
+    probe) with the label filter applied AFTER candidate fetch —
+    candidates with matching labels just fall out.
+
+    Returns (query_id, query_label, vec_id, neg_label, cos, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = spread(
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col)),
+        id_col,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(id_col) != F.col("query_id"))
+            & (F.col(label_col) != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            id_col,
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), ndigits).alias(
+                "cos"
+            ),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos").desc(), F.col(id_col)],
+        k,
+    ).select("query_id", "query_label", id_col, "neg_label", "cos", "rank")
+
+
+def embedding_outlier_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-label embedding outliers: the k vectors FARTHEST from
+    their label's centroid — mislabeled/garbage-embedding candidates
+    a curation pass reviews first.
+
+    Two partial aggs, no pairwise work: (1) per-(label, dim) means
+    via posexplode (shuffle carries |labels|×dim partial sums,
+    corpus-size-independent); (2) each vector's squared distance to
+    its own centroid, summed per row after a broadcast join of the
+    tiny centroid table back onto the exploded stream. Centroid
+    means are rounded to 6 dp BEFORE the distance (pins the value
+    against sum-order ulp drift in any engine), distances rounded
+    before ranking — the same rounded-then-ranked discipline as the
+    top-k family. Returns (label, id, dist, rank)."""
+    ex = df.select(
+        F.col(id_col), F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", F.col(id_col))
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("val").cast("double") - F.col("c"))
+                        * (F.col("val").cast("double") - F.col("c"))
+                    )
+                ),
+                ndigits,
+            ).alias("dist")
+        )
+    )
+    return topk_per_group(
+        dist,
+        ["label"],
+        [F.col("dist").desc(), F.col(id_col)],
+        k,
+    ).select("label", id_col, "dist", "rank")

@@ -4826,3 +4826,92 @@ def q_pq_recall_floor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1]).orderBy("method")
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             label AS query_label
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label
+          FROM embeddings),
+    s AS (
+      SELECT q.query_id, q.query_label, c.vec_id,
+             c.label AS neg_label,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 8) AS cos
+      FROM c, q
+      WHERE c.vec_id != q.query_id AND c.label != q.query_label
+    )
+    SELECT query_id, CAST(query_label AS INT) AS query_label,
+           vec_id, CAST(neg_label AS INT) AS neg_label, cos,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM s
+    ) WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+    doc="Hard-negative mining for contrastive training: per query "
+    "vector, the 3 most-similar vectors with a DIFFERENT label — "
+    "the near-misses a contrastive loss learns most from. Broadcast "
+    "nested loop (zero corpus shuffle); at scale the corpus side "
+    "swaps for a PQ/IVF candidate fetch with the label test applied "
+    "after",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return hard_negative_topk(emb, queries, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "embedding_outlier_topk",
+    """
+    WITH ex AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, round(avg(val), 6) AS c
+      FROM ex GROUP BY 1, 2
+    ), dist AS (
+      SELECT ex.label, ex.vec_id,
+             round(sqrt(sum((ex.val - cent.c) * (ex.val - cent.c))),
+                   6) AS dist
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      GROUP BY 1, 2
+    )
+    SELECT CAST(label AS INT) AS label, vec_id, dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY dist DESC, vec_id) AS rank
+      FROM dist
+    ) WHERE rank <= 5 ORDER BY label, rank
+    """,
+    doc="Per-label embedding outliers: the 5 vectors farthest from "
+    "their label centroid (mislabel/garbage-embedding candidates). "
+    "Two partial aggs via posexplode — the centroid shuffle is "
+    "|labels|x dim, corpus-size-independent — then a broadcast of "
+    "the tiny centroid table; centroid means rounded BEFORE the "
+    "distance so the value is pinned against sum-order ulp drift",
+)
+def q_embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import (
+        embedding_outlier_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_outlier_topk(emb, k=5).orderBy("label", "rank")

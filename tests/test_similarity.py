@@ -377,3 +377,62 @@ def test_pq_codebook_training_deterministic():
 
     with pytest.raises(ValueError):
         _train_pq_codebooks(list(vecs), m=7, ksub=16)
+
+
+def test_hard_negative_mining_label_contract(spark):
+    """Every mined negative has a different label from its query,
+    and is the nearest such vector (spot-check vs exact scan)."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        hard_negative_topk,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = hard_negative_topk(emb, queries, k=3).collect()
+    assert out and all(r.query_label != r.neg_label for r in out)
+    assert all(r.query_id != r.vec_id for r in out)
+    # rank-1 negative == first different-label row of the exact
+    # full ranking
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    exact = brute_force_cosine_topk(emb, queries, k=1000).collect()
+    best = {}
+    for r in sorted(exact, key=lambda r: (r.query_id, r.rank)):
+        q = r.query_id
+        if q not in best and labels[r.vec_id] != labels[q]:
+            best[q] = r.vec_id
+    got = {r.query_id: r.vec_id for r in out if r.rank == 1}
+    assert got == best
+
+
+def test_embedding_outlier_topk_contract(spark):
+    """A planted far-away vector is the rank-1 outlier of its label;
+    k bounds per label hold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.similarity import (
+        embedding_outlier_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8) * 0.1], int(i % 2))
+        for i in range(40)
+    ]
+    rows.append((999, [50.0] * 8, 0))  # planted outlier, label 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_outlier_topk(emb, k=3).collect()
+    per_label = {}
+    for r in out:
+        per_label.setdefault(r.label, []).append(r)
+    assert all(len(v) <= 3 for v in per_label.values())
+    top0 = min(per_label[0], key=lambda r: r.rank)
+    assert top0.vec_id == 999 and top0.rank == 1
+    assert all(r.dist >= 0 for r in out)
