@@ -1080,3 +1080,140 @@ def embedding_outlier_topk(
         [F.col("dist").desc(), F.col(id_col)],
         k,
     ).select("label", id_col, "dist", "rank")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 64,
+    train_limit: int = 4096,
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: coarse cell pruning composed with PQ code scoring —
+    the FAISS IVFPQ architecture, and the shape a 100 TB ANN
+    deployment actually runs. IVF cuts WHICH vectors are scored
+    (~n_probe/n_cells of the corpus, via a cell equi-join); PQ cuts
+    WHAT is scored (m-byte codes via broadcast lookup tables, no
+    float vectors at scan time). The two valves are independent, so
+    the scan cost drops multiplicatively.
+
+    This is the no-residual variant (codes quantize the normalized
+    vector itself, not x − centroid): one global codebook set keeps
+    the query LUT |Q|×m×ksub instead of |Q|×n_probe×m×ksub, at a
+    small recall cost that the shared recall-floor audit prices.
+    Training (coarse centroids + codebooks) is driver-side numpy on
+    one bounded deterministic sample; everything distributed is
+    Arrow-batched. Returns (query_id, id, pq_cos, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    train = [
+        r[0]
+        for r in corpus.select(vec_col)
+        .orderBy(id_col)
+        .limit(train_limit)
+        .collect()
+    ]
+    coarse = _train_centroids_kmeans(train, n_cells)
+    books = _train_pq_codebooks(train, m=m, ksub=ksub)
+    dsub = books.shape[2]
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((coarse, books))
+
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm[:, None]
+    luts = np.einsum(
+        "qjd,jcd->qjc", qunit.reshape(len(qids), m, dsub), books
+    )
+    # query → n_probe nearest cells (cosine, same metric as
+    # assignment), computed driver-side: |Q|×n_cells is tiny
+    cn = np.linalg.norm(coarse, axis=1)
+    cn[cn == 0] = np.inf
+    qsim = qunit @ coarse.T / cn[None, :]
+    probes = np.argsort(-qsim, axis=1)[:, :n_probe]
+    bc_q = sc.broadcast((qids, luts, probes))
+
+    def encode_kernel(batches):
+        cents, cbooks = bc.value
+        cnorm = np.linalg.norm(cents, axis=1)
+        cnorm[cnorm == 0] = np.inf
+        for pdf in batches:
+            matb = np.array(list(pdf[vec_col]), dtype=np.float64)
+            normb = np.linalg.norm(matb, axis=1)
+            normb[normb == 0] = 1.0
+            matb = matb / normb[:, None]
+            cell = np.argmax(matb @ cents.T / cnorm[None, :], axis=1)
+            subs = matb.reshape(len(matb), m, dsub)
+            d2 = ((subs[:, :, None, :] - cbooks[None, :, :, :]) ** 2).sum(
+                axis=3
+            )
+            codes = np.argmin(d2, axis=2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    def score_kernel(batches):
+        ids_q, tables, probe_rows = bc_q.value
+        # cell → list of probing query indexes
+        probing: dict[int, list[int]] = {}
+        for qi, cells in enumerate(probe_rows):
+            for c in cells:
+                probing.setdefault(int(c), []).append(qi)
+        jidx = np.arange(m)
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            for cell_id, qis in probing.items():
+                mask = cells == cell_id
+                if not mask.any():
+                    continue
+                sub_codes, sub_ids = codes[mask], ids[mask]
+                for qi in qis:
+                    qid = ids_q[qi]
+                    scores = tables[qi][jidx[None, :], sub_codes].sum(
+                        axis=1
+                    )
+                    keep = sub_ids != qid
+                    s, i = scores[keep], sub_ids[keep]
+                    sr = np.round(s, ndigits)
+                    order = np.lexsort((i, -sr))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_i.extend(i[order])
+                    out_s.extend(sr[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    id_col: pd.Series(out_i, dtype="int64"),
+                    "pq_cos": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    encoded = spread(corpus.select(id_col, vec_col), id_col).mapInPandas(
+        encode_kernel, schema=f"{id_col} long, cell int, codes array<int>"
+    )
+    scored = encoded.mapInPandas(
+        score_kernel,
+        schema=f"query_id long, {id_col} long, pq_cos double",
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("pq_cos").desc(), F.col(id_col)],
+        k,
+    ).select("query_id", id_col, "pq_cos", "rank")

@@ -4731,6 +4731,9 @@ def q_bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the measured values but far above chance (5/|corpus|).
 PQ_ADC_MEAN_RECALL_FLOOR = 0.75
 PQ_RERANK_MEAN_RECALL_FLOOR = 0.95
+# IVF-PQ composes two approximations (cell pruning × code
+# quantization); measured 0.84 / 0.92 / 1.0 at sf0.01 / sf0.1 / sf1
+IVFPQ_MEAN_RECALL_FLOOR = 0.6
 
 
 @register(
@@ -4780,8 +4783,10 @@ def q_cosine_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pq_recall_floor_audit",
     f"""
-    SELECT 'pq_adc' AS method, TRUE AS mean_recall_floor_ok,
-           CAST({PQ_ADC_MEAN_RECALL_FLOOR} AS DOUBLE) AS floor
+    SELECT 'ivfpq' AS method, TRUE AS mean_recall_floor_ok,
+           CAST({IVFPQ_MEAN_RECALL_FLOOR} AS DOUBLE) AS floor
+    UNION ALL
+    SELECT 'pq_adc', TRUE, CAST({PQ_ADC_MEAN_RECALL_FLOOR} AS DOUBLE)
     UNION ALL
     SELECT 'pq_rerank', TRUE,
            CAST({PQ_RERANK_MEAN_RECALL_FLOOR} AS DOUBLE)
@@ -4798,6 +4803,7 @@ def q_cosine_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_recall_floor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.functions.similarity import (
         ann_recall,
+        ivfpq_topk,
         pq_adc_topk,
         pq_rerank_topk,
     )
@@ -4809,8 +4815,12 @@ def q_pq_recall_floor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = pq_adc_topk(emb, queries, k=5, m=32, ksub=256)
     rerank = pq_rerank_topk(emb, queries, k=5, shortlist=50, m=16, ksub=64)
+    ivfpq = ivfpq_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4, m=32, ksub=256
+    )
     rows = []
     for method, approx, floor in (
+        ("ivfpq", ivfpq, IVFPQ_MEAN_RECALL_FLOOR),
         ("pq_adc", adc, PQ_ADC_MEAN_RECALL_FLOOR),
         ("pq_rerank", rerank, PQ_RERANK_MEAN_RECALL_FLOOR),
     ):
@@ -4825,7 +4835,31 @@ def q_pq_recall_floor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(float(floor)).alias("floor"),
             )
         )
-    return rows[0].unionByName(rows[1]).orderBy("method")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+@register(
+    "cosine_topk_ivfpq",
+    None,  # doubly approximate (cell pruning x quantization) →
+    # rows-only; its recall floor is hash-checked in
+    # pq_recall_floor_audit
+    doc="IVF-PQ composition (the FAISS IVFPQ shape a 100 TB ANN "
+    "deployment runs): coarse cells prune WHICH vectors are scored "
+    "(~n_probe/n_cells of the corpus), PQ codes prune WHAT is "
+    "scored (m-byte codes + broadcast query LUTs) — multiplicative "
+    "scan-cost cut, no-residual variant",
+)
+def q_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4, m=32, ksub=256
+    ).orderBy("query_id", "rank")
 
 
 @register(

@@ -436,3 +436,40 @@ def test_embedding_outlier_topk_contract(spark):
     top0 = min(per_label[0], key=lambda r: r.rank)
     assert top0.vec_id == 999 and top0.rank == 1
     assert all(r.dist >= 0 for r in out)
+
+
+def test_ivfpq_topk_contract(spark):
+    """IVF-PQ composition: output shape, self-exclusion, recall
+    floor, determinism under repartition."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.similarity import (
+        ann_recall,
+        brute_force_cosine_topk,
+        ivfpq_topk,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_cosine_topk(emb, queries, k=5)
+    a = ivfpq_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4, m=32, ksub=256
+    )
+    rows = a.collect()
+    assert rows and all(r.query_id != r.vec_id for r in rows)
+    assert {r.rank for r in rows} <= {1, 2, 3, 4, 5}
+    r = ann_recall(exact, a).agg(F.avg("recall")).collect()[0][0]
+    assert r >= 0.6, f"ivfpq recall {r}"
+    # full probe (n_probe = n_cells) must dominate restricted probe
+    full = ivfpq_topk(
+        emb, queries, k=5, n_cells=16, n_probe=16, m=32, ksub=256
+    )
+    rf = ann_recall(exact, full).agg(F.avg("recall")).collect()[0][0]
+    assert rf >= r
+    again = ivfpq_topk(
+        emb.repartition(5), queries, k=5, n_cells=16, n_probe=4,
+        m=32, ksub=256,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
