@@ -228,3 +228,187 @@ def bpe_roundtrip_report(encoded: DataFrame) -> DataFrame:
             "n_tokenized"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo, "Subword Regularization", ACL 2018 —
+# the SentencePiece unigram model), hard-EM variant: the second real
+# tokenizer family next to BPE. Same 100 TB split: driver-side
+# training on the bounded deterministic sample, distributed
+# Arrow-batched apply with a broadcast vocabulary.
+#
+# Honest simplification, documented: full Kudo training computes
+# EXPECTED piece counts via forward-backward over all segmentations
+# and prunes by held-out likelihood loss; this implementation uses
+# Viterbi (hard) EM — each iteration segments the sample with the
+# current piece log-probs, re-estimates probs from the hard counts,
+# and prunes zero-count multi-char pieces, then cuts to vocab_size
+# by (count, piece) order. Deterministic end-to-end: no RNG, float
+# ties in Viterbi break toward the LONGER piece then lexicographic.
+
+WB = "▁"  # SentencePiece word-boundary marker
+
+
+def _viterbi_segment(
+    word: str, logp: dict[str, float], max_len: int
+) -> list[str]:
+    """Best segmentation of ``word`` into vocabulary pieces.
+    Characters missing from the vocabulary pass through as
+    single-char pieces at a fixed penalty — open vocab, no UNK
+    loss (mirrors the BPE module's contract)."""
+    unk = min(logp.values(), default=0.0) - 10.0
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = unk
+            score = best[j] + lp
+            # strictly-better wins; on an exact tie prefer the
+            # longer final piece (smaller j) — j ascends, so keep
+            # the first maximum
+            if score > best[i]:
+                best[i], back[i] = score, j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def train_unigram_vocab(
+    texts: list[str],
+    vocab_size: int = 400,
+    max_piece_len: int = 8,
+    em_iters: int = 4,
+) -> dict[str, float]:
+    """Learn a unigram-LM piece vocabulary (piece → log-prob).
+
+    Seed = every substring of every sample word up to
+    ``max_piece_len`` chars, weighted by word frequency; then
+    ``em_iters`` rounds of Viterbi-EM (segment → hard counts →
+    re-estimate), pruning unused multi-char pieces each round and
+    finally cutting to ``vocab_size`` by (count desc, piece asc).
+    Single characters are never pruned (open vocabulary)."""
+    import math
+
+    word_freq: Counter[str] = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            word_freq[w] += 1
+    counts: Counter[str] = Counter()
+    for w, n in word_freq.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                counts[w[i : i + ln]] += n
+    chars = {p for p in counts if len(p) == 1}
+    total = sum(counts.values())
+    logp = {p: math.log(c / total) for p, c in counts.items()}
+    for _ in range(em_iters):
+        used: Counter[str] = Counter()
+        for w, n in word_freq.items():
+            for piece in _viterbi_segment(w, logp, max_piece_len):
+                used[piece] += n
+        # chars always survive (smoothed at count 1 when unused)
+        for ch in chars:
+            used.setdefault(ch, 1)
+        kept = {p: c for p, c in used.items() if c > 0}
+        if len(kept) > vocab_size:
+            ordered = sorted(
+                kept.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            keep_set = {p for p, _ in ordered[:vocab_size]} | chars
+            kept = {p: c for p, c in kept.items() if p in keep_set}
+        tot = sum(kept.values())
+        logp = {p: math.log(c / tot) for p, c in kept.items()}
+    return logp
+
+
+def unigram_decode(tokens: list[str]) -> str:
+    """Exact inverse: concat, ``▁`` → space, strip the leading one."""
+    return "".join(tokens).replace(WB, " ").lstrip(" ")
+
+
+def unigram_encode_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: dict[str, float],
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Distributed unigram-LM apply: (id, tokens array<string>,
+    n_tokens, roundtrip_ok). The first piece of each word carries
+    the ``▁`` word-boundary prefix (SentencePiece convention), so
+    the token stream alone reconstructs the normalized text;
+    ``roundtrip_ok`` is computed row-by-row on the executors."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(vocab)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        logp = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def enc(text: str) -> tuple[list[str], bool]:
+            words = (text or "").split()
+            toks: list[str] = []
+            for w in words:
+                got = cache.get(w)
+                if got is None:
+                    pieces = _viterbi_segment(w, logp, max_piece_len)
+                    got = [WB + pieces[0], *pieces[1:]] if pieces else []
+                    cache[w] = got
+                toks.extend(got)
+            return toks, unigram_decode(toks) == " ".join(words)
+
+        for pdf in batches:
+            encoded = [enc(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "tokens": [e[0] for e in encoded],
+                    "n_tokens": [len(e[0]) for e in encoded],
+                    "roundtrip_ok": [e[1] for e in encoded],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen,
+        schema="id long, tokens array<string>, n_tokens long, "
+        "roundtrip_ok boolean",
+    )
+
+
+_UNIGRAM_CACHE: dict[tuple[int, str, int], dict[str, float]] = {}
+
+
+def corpus_unigram_vocab(
+    spark: SparkSession,
+    docs: DataFrame,
+    cache_key: str,
+    vocab_size: int = 400,
+    sample_docs: int = 512,
+) -> dict[str, float]:
+    """Per-(session, corpus) memoized training, mirror of
+    :func:`corpus_bpe_merges`."""
+    key = (id(spark), cache_key, vocab_size)
+    if key not in _UNIGRAM_CACHE:
+        rows = (
+            docs.select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(sample_docs)
+            .collect()
+        )
+        _UNIGRAM_CACHE[key] = train_unigram_vocab(
+            [r[1] for r in rows], vocab_size=vocab_size
+        )
+    return _UNIGRAM_CACHE[key]

@@ -4949,3 +4949,70 @@ def q_embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_outlier_topk(emb, k=5).orderBy("label", "rank")
+
+
+@register(
+    "unigram_lm_tokenize",
+    None,  # piece ids are vocabulary-dependent — rows-only; the
+    # lossless contract is hash-checked next door in
+    # unigram_lm_roundtrip_audit (rows-only-needs-an-audit rule)
+    doc="REAL trained unigram-LM tokenization (SentencePiece model, "
+    "Kudo 2018; hard-EM variant, functions/tokenize.py): piece "
+    "vocabulary learned driver-side from the bounded deterministic "
+    "sample (Viterbi-EM over substring seeds), applied distributed "
+    "via Arrow-batched mapInPandas with the broadcast vocabulary, "
+    "per-batch word memoization, Viterbi segmentation per word. "
+    "The second tokenizer family next to BPE — embarrassingly "
+    "parallel, no shuffle in the apply path",
+)
+def q_unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.tokenize import (
+        corpus_unigram_vocab,
+        unigram_encode_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = corpus_unigram_vocab(spark, docs, sf_dir)
+    return (
+        unigram_encode_table(docs, "text", "doc_id", vocab)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.slice("tokens", 1, 8).alias("first_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "unigram_lm_roundtrip_audit",
+    r"""
+    SELECT count(*) AS n_docs,
+           count(*) AS n_roundtrip_ok,
+           count(*) FILTER (
+             WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
+           ) AS n_tokenized
+    FROM documents
+    """,
+    doc="Hash-checked lossless contract for the unigram-LM "
+    "tokenizer (pairs the rows-only unigram_lm_tokenize): "
+    "decode(encode(text)) must equal the whitespace-normalized "
+    "text for EVERY document and every non-whitespace document "
+    "must tokenize — a Viterbi gap (a word no piece path covers), "
+    "a boundary-marker drift, or a pruned character class breaks "
+    "this row at any sf",
+)
+def q_unigram_lm_roundtrip_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_processing_spark.functions.tokenize import (
+        bpe_roundtrip_report,
+        corpus_unigram_vocab,
+        unigram_encode_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = corpus_unigram_vocab(spark, docs, sf_dir)
+    return bpe_roundtrip_report(
+        unigram_encode_table(docs, "text", "doc_id", vocab)
+    )

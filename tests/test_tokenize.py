@@ -85,3 +85,52 @@ def test_merges_actually_compress(spark):
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     toks = _encode_word("tokenization", ranks)
     assert len(toks) <= 2  # fully merged after 30 merges
+
+
+def test_unigram_train_deterministic_and_open_vocab():
+    from big_data_processing_spark.functions.tokenize import (
+        _viterbi_segment,
+        train_unigram_vocab,
+    )
+
+    texts = [
+        "spark joins shuffle rows into hash buckets",
+        "hash joins beat shuffle sorts for small builds",
+        "spark rows stream through hash joins",
+    ] * 10
+    a = train_unigram_vocab(texts, vocab_size=64)
+    b = train_unigram_vocab(texts, vocab_size=64)
+    assert a == b
+    # every single sample character survives pruning (open vocab)
+    chars = {c for t in texts for c in t if c != " "}
+    assert chars <= set(a)
+    # frequent full words become single pieces
+    assert _viterbi_segment("hash", a, 8) == ["hash"]
+    assert _viterbi_segment("joins", a, 8) == ["joins"]
+    # unseen characters pass through as singles
+    segs = _viterbi_segment("zebraZ9", a, 8)
+    assert "".join(segs) == "zebraZ9"
+
+
+def test_unigram_encode_roundtrip_exact(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.tokenize import (
+        WB,
+        corpus_unigram_vocab,
+        unigram_decode,
+        unigram_encode_table,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    vocab = corpus_unigram_vocab(spark, docs, SF0001)
+    enc = unigram_encode_table(docs, "text", "doc_id", vocab)
+    bad = enc.filter(~F.col("roundtrip_ok")).count()
+    assert bad == 0
+    row = enc.orderBy("id").first()
+    assert row.tokens[0].startswith(WB)
+    assert unigram_decode(list(row.tokens)) == " ".join(
+        docs.orderBy("doc_id").first().text.split()
+    )
