@@ -226,3 +226,81 @@ def bloom_membership(key: str, bitmap: list[int], num_hashes: int = 5):
         word = F.element_at(words, (pos / 64).cast("int") + 1)
         test = test & (F.getbit(word, F.pmod(pos, F.lit(64))) == 1)
     return test
+
+
+def countmin_table(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key
+    column, as a (row, col, cnt) table — the mergeable frequency
+    sketch that completes the family next to HLL (distinct),
+    Misra-Gries (heavy hitters) and Bloom (membership).
+
+    Build is one explode + one partial agg: each key contributes
+    ``depth`` (row, pmod(xxhash64(key, row), width)) cells, so the
+    shuffle carries at most depth × width counter partials per task
+    — corpus-size-independent, like every sketch here. Estimates
+    read with :func:`countmin_estimate` (min over the depth cells):
+    never below the true count, above it by at most εN with
+    probability 1−δ (ε = e/width, δ = e^−depth). Deterministic:
+    xxhash64 is a fixed function of (key, row-seed)."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(i)),
+                            F.lit(width),
+                        ).cast("int").alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return (
+        cells.groupBy(
+            F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a Count-Min
+    table: join each key's depth cells against the sketch (broadcast
+    — the sketch is ≤ width×depth rows by construction) and take the
+    min. Missing cells count 0 (a key whose cell nobody touched)."""
+    probes = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(i)),
+                            F.lit(width),
+                        ).cast("int").alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

@@ -541,3 +541,232 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", BM25_QUERIES,
         k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
     ).orderBy("query_id", "rank")
+
+
+# Count-Min audit geometry: eps = e/width. The "within eps*N"
+# check is the sketch's own 1-delta guarantee evaluated exactly on
+# this corpus (deterministic — xxhash64 cells are a fixed function
+# of the token), so a green row is a measured property, not a
+# statistical hope.
+CM_WIDTH, CM_DEPTH = 1024, 4
+
+
+@register(
+    "countmin_error_audit",
+    f"""
+    WITH tok AS (
+      SELECT unnest(t) AS token
+      FROM (SELECT {TOKS_SQL} AS t FROM documents)
+    )
+    SELECT CAST(least(20, count(DISTINCT token)) AS BIGINT)
+             AS n_probed,
+           TRUE AS lower_bounded_ok,
+           TRUE AS within_eps_ok,
+           CAST({CM_WIDTH} AS BIGINT) AS width,
+           CAST({CM_DEPTH} AS BIGINT) AS depth
+    FROM tok
+    """,
+    doc="Hash-checked error contract for the Count-Min sketch "
+    "(completes the sketch family: HLL distinct, Misra-Gries heavy "
+    "hitters, Bloom membership, CM point frequency): for the 20 "
+    "most frequent tokens, every estimate must be >= the true "
+    "count (CM never undercounts, structurally) and every "
+    "overestimate must sit within eps*N = (e/width)*N — the "
+    "sketch's own guarantee evaluated exactly. Build is one "
+    "explode + partial agg with a <= width x depth shuffle "
+    "footprint, corpus-size-independent",
+)
+def q_countmin_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from big_data_processing_spark.functions.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    from big_data_processing_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)
+    truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probed = truth.orderBy(F.col("true_cnt").desc(), "token").limit(20)
+    sketch = countmin_table(tok, "token", CM_WIDTH, CM_DEPTH)
+    est = countmin_estimate(
+        probed.select("token"), sketch, "token", CM_WIDTH, CM_DEPTH
+    )
+    n_tokens = tok.count()
+    bound = math.e / CM_WIDTH * float(n_tokens)
+    joined = probed.join(est, "token")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.min(F.col("est") >= F.col("true_cnt")).alias(
+            "lower_bounded_ok"
+        ),
+        F.max(F.col("est") - F.col("true_cnt") <= F.lit(bound)).alias(
+            "within_eps_ok"
+        ),
+        F.lit(CM_WIDTH).cast("bigint").alias("width"),
+        F.lit(CM_DEPTH).cast("bigint").alias("depth"),
+    )
+
+
+@register(
+    "hybrid_related_docs_rrf",
+    f"""
+    WITH dtok AS (
+      SELECT DISTINCT doc_id, unnest(t) AS token
+      FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+    ), dsize AS (
+      SELECT doc_id, count(*) AS sz FROM dtok GROUP BY 1
+    ), inter AS (
+      SELECT q.doc_id AS query_id, d.doc_id, count(*) AS i
+      FROM dtok q JOIN dtok d USING (token)
+      WHERE q.doc_id < 5 AND d.doc_id != q.doc_id
+      GROUP BY 1, 2
+    ), lex AS (
+      SELECT inter.query_id, inter.doc_id,
+             row_number() OVER (
+               PARTITION BY inter.query_id
+               ORDER BY CAST(i AS DOUBLE)
+                        / (qs.sz + ds.sz - i) DESC, inter.doc_id
+             ) AS lex_rank
+      FROM inter
+        JOIN dsize qs ON qs.doc_id = inter.query_id
+        JOIN dsize ds ON ds.doc_id = inter.doc_id
+    ), dense AS (
+      SELECT query_id, vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id
+             ) AS dense_rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 8) AS cos
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS cv
+              FROM embeddings) c,
+             (SELECT vec_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5) q
+        WHERE c.vec_id != q.vec_id
+      )
+    ), fused AS (
+      SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank),
+                              0), 8) AS rrf
+      FROM (SELECT * FROM lex WHERE lex_rank <= 20) l
+      FULL OUTER JOIN (SELECT * FROM dense WHERE dense_rank <= 20) d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    doc="Hybrid related-document retrieval, query-by-example: for "
+    "each query doc, fuse the LEXICAL ranking (distinct-token "
+    "Jaccard — explode + equi-join on token, partial-agg "
+    "intersection counts) with the DENSE ranking (embedding cosine) "
+    "by reciprocal-rank fusion, rrf = sum 1/(60+rank) over the "
+    "lists the doc appears in (top-20 each side). The standard "
+    "sparse+dense production retrieval shape; both legs and the "
+    "fusion are exact SQL, so the whole hybrid is hash-checked. "
+    "Exact Jaccard rationals and two-term RRF sums are "
+    "bit-reproducible in any IEEE engine",
+)
+def q_hybrid_related_docs_rrf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_processing_spark.functions.similarity import (
+        brute_force_cosine_topk,
+    )
+    from big_data_processing_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dtok = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dsize = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    qtok = dtok.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    inter = (
+        qtok.join(dtok, "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    qs = dsize.select(F.col("doc_id").alias("query_id"), F.col("sz").alias("qsz"))
+    jac = (
+        inter.join(F.broadcast(qs), "query_id")
+        .join(dsize, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("i").cast("double")
+                / (F.col("qsz") + F.col("sz") - F.col("i"))
+            ).alias("jac"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("jac").desc(), "doc_id"
+    )
+    lex = (
+        jac.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    dense = (
+        brute_force_cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=20
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").alias("dense_rank"),
+        )
+    )
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1).cast("double") / (F.lit(60) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1).cast("double")
+                    / (F.lit(60) + F.col("dense_rank")),
+                    F.lit(0.0),
+                ),
+                8,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "doc_id", "rrf",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

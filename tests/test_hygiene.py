@@ -241,3 +241,24 @@ def test_compression_ratio_real_text(spark):
             assert not out[i].flag_incompressible
     assert out[2].flag_repetitive and not out[2].flag_incompressible
     assert not out[1].flag_repetitive
+
+
+def test_hybrid_rrf_fusion_contract(spark):
+    """RRF fusion: a doc ranked top by BOTH legs outranks docs on
+    one leg only; scores equal 1/(60+r_lex) + 1/(60+r_dense)."""
+    from big_data_processing_spark.plans.registry import QUERIES
+    from tests.conftest import SF0001
+
+    out = QUERIES["hybrid_related_docs_rrf"](spark, SF0001).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= 5
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # rrf scores are bounded by the two-leg maximum 2/61 and
+        # descend with rank
+        scores = [r.rrf for r in rows]
+        assert all(0 < s <= 2 / 61 + 1e-12 for s in scores)
+        assert scores == sorted(scores, reverse=True)

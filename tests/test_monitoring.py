@@ -48,3 +48,36 @@ def test_pipeline_with_monitor(spark, tmp_path):
     # the quality stage reported the raw row count
     qrec = next(r for r in mon.report() if r["name"] == "quality_metrics")
     assert qrec["rows"] == result.raw_rows
+
+
+def test_countmin_never_undercounts(spark):
+    """CM estimates are exact-or-over for every probed key, and
+    exact when width >> distinct keys (no collisions possible in
+    expectation check: verify est == true for a tiny vocab)."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    rows = [(w,) for w in "a b c a b a d e f a b c".split()]
+    df = spark.createDataFrame(rows, "token string")
+    sketch = countmin_table(df, "token", width=4096, depth=4)
+    truth = df.groupBy("token").agg(F.count(F.lit(1)).alias("t"))
+    est = countmin_estimate(
+        truth.select("token"), sketch, "token", width=4096, depth=4
+    )
+    j = {r.token: (r.t, r.est) for r in truth.join(est, "token").collect()}
+    assert len(j) == 6
+    for t, e in j.values():
+        assert e >= t
+    # wide sketch over 6 keys: overwhelmingly exact
+    assert sum(e - t for t, e in j.values()) == 0
+    # narrow sketch forces collisions but keeps the lower bound
+    s2 = countmin_table(df, "token", width=2, depth=2)
+    e2 = countmin_estimate(
+        truth.select("token"), s2, "token", width=2, depth=2
+    )
+    for r in truth.join(e2, "token").collect():
+        assert r.est >= r.t
