@@ -1303,3 +1303,87 @@ def _bucketed_segments_tables(
     )
     _BUCKETED_SEGMENTS_CACHE[sf_dir] = (o_tbl, c_tbl)
     return o_tbl, c_tbl
+
+
+@register(
+    "curation_split_report",
+    f"""
+    WITH t AS (SELECT doc_id, text, source,
+                      {_TOKS_SQL} AS toks FROM documents),
+    kept AS (
+      SELECT doc_id, source, len(toks) AS n_tok,
+             md5({_NORM_SQL}) AS fp
+      FROM t
+      WHERE (len(toks) >= 30 AND len(toks) <= 100000)
+        AND (CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks,
+                         x -> CAST(len(x) AS DOUBLE))) / len(toks)
+                  ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+        AND (CASE WHEN len(text) > 0
+                  THEN CAST(len(text) - len(regexp_replace(text,
+                       '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+                  ELSE 0.0 END <= 0.1)
+    ), dedup AS (
+      SELECT * FROM kept
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT CASE WHEN substr(md5(CAST(source AS VARCHAR)), 1, 1) < 'a'
+                THEN 'train'
+                WHEN substr(md5(CAST(source AS VARCHAR)), 1, 1) < 'd'
+                THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+    FROM dedup GROUP BY 1 ORDER BY 1
+    """,
+    doc="End-to-end curation pipeline in ONE declarative plan — the "
+    "composition a training-data run executes: Gopher quality "
+    "bundle (codegen projection, no shuffle) -> exact dedup on "
+    "md5-of-normalized-text (16-byte keys shuffle, keep-smallest-id "
+    "window) -> group-disjoint split (pure projection) -> per-split "
+    "corpus accounting. Each stage is individually hash-checked "
+    "elsewhere (gopher_quality_flags, dedup_fingerprint, "
+    "group_disjoint_split); this row pins their COMPOSITION",
+)
+def q_curation_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_processing_spark.functions.hygiene import (
+        gopher_quality_flags,
+    )
+    from big_data_processing_spark.functions.splits import (
+        grouped_hash_split,
+    )
+    from big_data_processing_spark.functions.text import (
+        normalize_text,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    passed = gopher_quality_flags(docs, "text", "doc_id").filter(
+        "passed"
+    ).select("doc_id")
+    kept = docs.join(passed, "doc_id").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.md5(F.encode(normalize_text(F.col("text")), "UTF-8")).alias(
+            "fp"
+        ),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        grouped_hash_split(dedup, "source", 10, 3)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("split")
+    )
