@@ -359,3 +359,25 @@ def test_bloom_prefilter_filters_fact_before_broadcast_join(spark):
     # hoisted above the join
     filt = [l for l in plan.splitlines() if "getbit" in l]
     assert any("o_custkey" in l for l in filt), filt
+
+
+def test_bm25_prunes_postings_at_the_generator(spark):
+    """The query-term IN filter must sit on the exploded token
+    stream (above Generate, below any exchange) on BOTH the tf and
+    df branches — at corpus scale only query-term postings may
+    reach a shuffle."""
+    import re
+
+    from big_data_processing_spark.plans.registry import QUERIES
+    from tests.conftest import SF0001
+
+    df = QUERIES["bm25_retrieval_topk"](spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hits = [
+        m.start()
+        for m in re.finditer(r"Filter token#\d+ IN \(", plan)
+    ]
+    assert len(hits) >= 2, plan[:2000]
+    # the top-k must run as WindowGroupLimit (rank pushdown), not a
+    # full per-partition sort + post-filter
+    assert "WindowGroupLimit" in plan

@@ -197,3 +197,65 @@ def test_sessionize_matches_python_model(spark, events):
             expected[i] = sid
             last = m
     assert got == expected
+
+
+# --- round-10 additions: tokenizer + banding properties -----------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="▁"
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_unigram_roundtrip_property(texts):
+    """decode(encode(text)) == whitespace-normalized text for ANY
+    corpus the trainer sees (driver-side model, no Spark)."""
+    from big_data_processing_spark.functions.tokenize import (
+        WB,
+        _viterbi_segment,
+        train_unigram_vocab,
+        unigram_decode,
+    )
+
+    vocab = train_unigram_vocab(texts, vocab_size=64)
+    for t in texts:
+        words = t.split()
+        toks = []
+        for w in words:
+            pieces = _viterbi_segment(w, vocab, 8)
+            assert "".join(pieces) == w  # full cover, always
+            toks += [WB + pieces[0], *pieces[1:]]
+        assert unigram_decode(toks) == " ".join(words)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.integers(min_value=0, max_value=8),
+)
+def test_hash64_banding_pigeonhole_property(a, b, max_h):
+    """The (max_hamming+1)-chunk split can never miss a pair within
+    the threshold: if popcount(a^b) <= max_h, at least one chunk is
+    bit-identical (the pigeonhole guarantee the banded join relies
+    on at ANY threshold after the r9 generalization)."""
+    n = max_h + 1
+    width = 64 // n + (1 if 64 % n else 0)
+    hamming = bin(a ^ b).count("1")
+    chunks_equal = any(
+        ((a >> (i * width)) & ((1 << width) - 1))
+        == ((b >> (i * width)) & ((1 << width) - 1))
+        for i in range(n)
+        if i * width < 64
+    )
+    if hamming <= max_h:
+        assert chunks_equal
