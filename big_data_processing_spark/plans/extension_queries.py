@@ -5016,3 +5016,170 @@ def q_unigram_lm_roundtrip_audit(
     return bpe_roundtrip_report(
         unigram_encode_table(docs, "text", "doc_id", vocab)
     )
+
+
+@register(
+    "streaming_near_dup_parity",
+    f"""
+    WITH n AS (SELECT doc_id, {NORM_SQL} AS s FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct([substr(s, i, 5)
+                            FOR i IN range(1, greatest(len(s) - 3, 1))])
+               AS grams
+      FROM n WHERE len(s) >= 5
+    ),
+    sig AS (
+      SELECT doc_id,
+             [list_min([md5(CAST(p AS VARCHAR) || ':' || gr)
+                        FOR gr IN grams])
+              FOR p IN range(8)] AS m
+      FROM g
+    ), bs AS (SELECT unnest([0, 1]) AS b),
+    banded AS (
+      SELECT doc_id, b,
+             md5(m[4*b + 1] || ',' || m[4*b + 2] || ',' ||
+                 m[4*b + 3] || ',' || m[4*b + 4]) AS bucket
+      FROM sig CROSS JOIN bs
+    ),
+    cand AS (
+      SELECT DISTINCT s.doc_id, h.doc_id AS hist_id
+      FROM banded s JOIN banded h
+        ON s.b = h.b AND s.bucket = h.bucket
+      WHERE s.doc_id % 5 = 0 AND h.doc_id % 5 != 0
+    )
+    SELECT cand.doc_id, hist_id,
+           round(CAST(len(list_intersect(gs.grams, gh.grams)) AS DOUBLE)
+                 / (len(gs.grams) + len(gh.grams)
+                    - len(list_intersect(gs.grams, gh.grams))), 6)
+             AS jaccard
+    FROM cand
+    JOIN g gs ON gs.doc_id = cand.doc_id
+    JOIN g gh ON gh.doc_id = cand.hist_id
+    WHERE CAST(len(list_intersect(gs.grams, gh.grams)) AS DOUBLE)
+          / (len(gs.grams) + len(gh.grams)
+             - len(list_intersect(gs.grams, gh.grams))) >= 0.6
+    ORDER BY cand.doc_id, hist_id
+    """,
+    doc="Streaming NEAR-dup flagging, value-checked end-to-end: new "
+    "documents (doc_id % 5 = 0) arrive as a 3-chunk file stream, "
+    "md5-basis minhash signatures and band buckets are computed as "
+    "pure per-row projections ON THE STREAM (no state), and a "
+    "stream-static equi-join against the pre-built history band "
+    "table (doc_id % 5 != 0; bands+grams localCheckpointed) yields "
+    "candidates verified in-stream by exact gram Jaccard >= 0.6; "
+    "cross-band duplicate pairs collapse via "
+    "dropDuplicatesWithinWatermark. The incremental-corpus shape of "
+    "minhash_near_dup_checked: history shuffles ONCE at build, each "
+    "micro-batch touches only its own rows + the broadcast band "
+    "table. Memory sink must equal the batch SQL pair set exactly",
+)
+def q_streaming_near_dup_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_processing_spark.functions.dedup import (
+        md5_gram_sets,
+        md5_minhash_signatures,
+    )
+    from big_data_processing_spark.sources.maintenance import scratch_dir
+    from big_data_processing_spark.streaming.windowed import (
+        run_stream_to_memory,
+    )
+
+    num_perm, bands = 8, 2
+    rows = num_perm // bands
+
+    def banded_of(sig: DataFrame, id_col: str) -> DataFrame:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        keep = [c for c in sig.columns if not c.startswith("m")]
+        return sig.select(
+            *keep, F.explode(F.array(*band_cols)).alias("bb")
+        ).select(*keep, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    hgrams = md5_gram_sets(hist, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    hband = (
+        banded_of(md5_minhash_signatures(hgrams, "doc_id", num_perm), "doc_id")
+        .select(
+            F.col("doc_id").alias("hist_id"), "band", "bucket"
+        )
+        .join(
+            hgrams.select(
+                F.col("doc_id").alias("hist_id"),
+                F.col("grams").alias("hist_grams"),
+            ),
+            "hist_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    work = scratch_dir("snd_chunks", sf_dir)
+    new = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "ts", F.to_timestamp(F.col("doc_id") + F.lit(1_000_000_000))
+    )
+    new.repartitionByRange(3, "doc_id").write.parquet(f"{work}/chunks")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/chunks")
+    )
+    # grams on the stream: same projections md5_gram_sets uses, with
+    # ts carried through (the batch helper drops extra columns)
+    from big_data_processing_spark.functions.text import (
+        char_ngrams_of_norm,
+        normalize_text,
+    )
+
+    sgrams = (
+        stream.select(
+            "doc_id", "ts", normalize_text(F.col("text")).alias("nrm")
+        )
+        .filter(F.length("nrm") >= 5)
+        .select(
+            "doc_id", "ts",
+            char_ngrams_of_norm(F.col("nrm"), 5).alias("grams"),
+        )
+    )
+    # signatures inline (a stream cannot self-join to re-attach ts,
+    # so the per-row permutation columns are projected directly)
+    perm_cols = [
+        F.array_min(
+            F.transform(
+                F.col("grams"),
+                (lambda i: (lambda g: F.md5(F.concat_ws(":", F.lit(str(i)), g))))(i),
+            )
+        ).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    ssig = sgrams.select("doc_id", "ts", "grams", *perm_cols)
+    sband = banded_of(ssig, "doc_id")
+    inter = F.size(F.array_intersect(F.col("grams"), F.col("hist_grams")))
+    union = (
+        F.size("grams") + F.size("hist_grams") - inter
+    )
+    flagged = (
+        sband.join(hband, ["band", "bucket"])
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(
+            inter.cast("double") / union >= 0.6
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["doc_id", "hist_id"])
+        .select("doc_id", "hist_id", "jaccard")
+    )
+    got = run_stream_to_memory(flagged, "snd", output_mode="append")
+    return got.orderBy("doc_id", "hist_id")
