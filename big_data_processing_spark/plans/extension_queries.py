@@ -5132,6 +5132,20 @@ def q_streaming_near_dup_parity(
         "ts", F.to_timestamp(F.col("doc_id") + F.lit(1_000_000_000))
     )
     new.repartitionByRange(3, "doc_id").write.parquet(f"{work}/chunks")
+    # FileStreamSource orders by mtime with ARBITRARY ties: pin
+    # ascending mtimes in path order (part files are written in
+    # doc_id-range order, and ts rises with doc_id) so no chunk
+    # arrives after a later-range chunk has advanced the watermark
+    # past its rows — out-of-order arrival at sf1 dropped a whole
+    # chunk's pairs as late (5777 vs 8742). Same pinning as
+    # q_streaming_dedup_parity.
+    import glob as globmod
+    import os
+
+    for i, p in enumerate(
+        sorted(globmod.glob(f"{work}/chunks/part-*.parquet"))
+    ):
+        os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
     stream = (
         spark.readStream.schema(new.schema)
         .option("maxFilesPerTrigger", 1)
