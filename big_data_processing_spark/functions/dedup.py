@@ -469,33 +469,7 @@ def ngram_jaccard_pairs(
         )
         # exact verification on the full gram arrays — only the
         # (small) candidate set pays the per-pair array shuffle
-        arrs_a = base.select(
-            F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")
-        )
-        arrs_b = base.select(
-            F.col(id_col).alias("id_b"), F.col("grams").alias("__gb")
-        )
-        verified = (
-            _spread(cand, "id_a", "id_b")
-            .join(arrs_a, on="id_a")
-            .join(arrs_b, on="id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.size(F.array_intersect("__ga", "__gb")).alias("inter"),
-                F.size("__ga").alias("sz_a"),
-                F.size("__gb").alias("sz_b"),
-            )
-        )
-        union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
-        jac = F.when(
-            union > 0, F.col("inter").cast("double") / union
-        ).otherwise(F.lit(0.0))
-        return (
-            verified.withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+        return _verify_jaccard_candidates(base, cand, id_col, threshold)
     inter_counts = (
         exploded.select(*block_cols, F.col(id_col).alias("id_a"), "g")
         .join(
@@ -525,6 +499,173 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _verify_jaccard_candidates(
+    base: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard verification of a candidate pair set against the
+    full (id, grams) arrays in ``base``. Only the candidate set pays
+    the per-pair array shuffle; every returned value is exact."""
+    arrs_a = base.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")
+    )
+    arrs_b = base.select(
+        F.col(id_col).alias("id_b"), F.col("grams").alias("__gb")
+    )
+    verified = (
+        _spread(cand, "id_a", "id_b")
+        .join(arrs_a, on="id_a")
+        .join(arrs_b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ga", "__gb")).alias("inter"),
+            F.size("__ga").alias("sz_a"),
+            F.size("__gb").alias("sz_b"),
+        )
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    jac = F.when(
+        union > 0, F.col("inter").cast("double") / union
+    ).otherwise(F.lit(0.0))
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity join via PREFIX FILTERING
+    (the AllPairs / SSJoin candidate generator: sort each gram set by
+    one canonical rarity order, index only each set's first
+    ``sz - ceil(t*sz) + 1`` grams, and join on those). FULL recall at
+    the given threshold — unlike the ``max_df`` valve on
+    :func:`ngram_jaccard_pairs`, no pair is ever missed: if
+    J(A,B) >= t then |A∩B| >= ceil(t*|A|), so by pigeonhole A and B
+    must share a gram inside both prefixes under ANY shared total
+    order. Candidates are then verified exactly on the full arrays
+    (same verifier as the max_df path), so precision is exact too.
+
+    Scale posture: candidate work is Σ_gram prefix-df(gram)² — the
+    canonical order puts each set's RAREST grams in its prefix, so
+    ubiquitous grams never generate candidates unless the threshold
+    demands a long prefix. Work is output-sensitive: at high
+    thresholds (t >= 0.6, prefix <= 40% of each set) the candidate
+    set approaches the true pair set; at low thresholds prefixes
+    lengthen and the generator degrades toward the full inverted
+    index — use ``ngram_jaccard_pairs(max_df=...)`` there instead.
+    The length filter (t·|A| <= |B| <= |A|/t) prunes cross-size
+    candidates before the distinct.
+
+    Float-boundary care: the required-overlap bound ceil(t·sz) is
+    computed as ``ceil(t*sz - 1e-6)`` so a binary-float product that
+    lands just ABOVE an exactly-achievable integer (0.3*10 =
+    3.0000000000000004) cannot shorten the prefix below what the
+    pigeonhole argument needs; the length filter is relaxed by the
+    same epsilon in the safe direction. Both only ever ADMIT more
+    candidates — the exact verifier keeps the result set identical.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base = (
+        _spread(
+            df.select(
+                F.col(id_col), *[F.col(c) for c in block_cols],
+                F.col(text_col),
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            char_ngram_hashes_of_norm(
+                normalize_text(F.col(text_col)), n
+            ).alias("grams"),
+        )
+        # referenced 3× below (prefix build + both verify sides)
+        .localCheckpoint(eager=False)
+    )
+    exploded = base.select(
+        *block_cols, F.col(id_col), F.explode("grams").alias("g")
+    )
+    # canonical per-block total order: (document frequency asc, gram
+    # asc). Any one shared order is correct; rarity-first makes the
+    # prefix the least-collisional slice of each set.
+    gram_df = exploded.groupBy(*block_cols, "g").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    req_overlap = F.ceil(
+        F.lit(threshold) * F.size("__sorted") - F.lit(1e-6)
+    )
+    prefixes = (
+        exploded.join(gram_df, on=[*block_cols, "g"])
+        .groupBy(*block_cols, id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__df", "g"))).alias(
+                "__og"
+            )
+        )
+        .select(
+            *block_cols,
+            F.col(id_col),
+            F.transform("__og", lambda s: s["g"]).alias("__sorted"),
+        )
+        .select(
+            *block_cols,
+            F.col(id_col),
+            F.size("__sorted").alias("__sz"),
+            F.slice(
+                "__sorted",
+                F.lit(1),
+                (F.size("__sorted") - req_overlap + F.lit(1)).cast("int"),
+            ).alias("__prefix"),
+        )
+        .select(
+            *block_cols,
+            F.col(id_col),
+            F.col("__sz"),
+            F.explode("__prefix").alias("g"),
+        )
+    )
+    eps = F.lit(1e-6)
+    cand = (
+        prefixes.select(
+            *block_cols,
+            F.col(id_col).alias("id_a"),
+            F.col("__sz").alias("__sa"),
+            "g",
+        )
+        .join(
+            prefixes.select(
+                *block_cols,
+                F.col(id_col).alias("id_b"),
+                F.col("__sz").alias("__sb"),
+                "g",
+            ),
+            on=[*block_cols, "g"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t  ⇒  t·|A| <= |B| and t·|B| <= |A|
+        .filter(
+            (F.col("__sa") * F.lit(threshold) <= F.col("__sb") + eps)
+            & (F.col("__sb") * F.lit(threshold) <= F.col("__sa") + eps)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard_candidates(base, cand, id_col, threshold)
 
 
 def md5_gram_sets(

@@ -1131,6 +1131,86 @@ def q_stateful_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_window_parity",
+    """
+    WITH g AS (
+      SELECT user_id, ts, coalesce(value, 0.0) AS value,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    ), agg AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             round(sum(value), 6) AS total_value
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM agg
+    WHERE session_end <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    ORDER BY user_id, session_start
+    """,
+    doc="NATIVE session-window streaming parity, value-checked "
+    "end-to-end: Spark's engine-side gap sessionization "
+    "(F.session_window, streaming/windowed.py session_window_values) "
+    "over the events stream delivered as 4 time-range-ordered "
+    "micro-batches — the BUILT-IN twin of stateful_sessions_parity's "
+    "applyInPandasWithState kernel, pinning that both mechanisms "
+    "implement the same session algebra. Sessions spanning "
+    "micro-batch boundaries must merge inside the state store "
+    "(JVM-side MergingSessions exec, no Python); append mode emits "
+    "exactly the sessions whose window end (last event + 30 min) "
+    "the final watermark (max event time - 2h) has passed. The "
+    "oracle recomputes sessions with the lag-gap rule measured from "
+    "the engine (merge at EXACTLY last+gap; new session only "
+    "strictly beyond) and applies the same closed-window filter. "
+    "Emission boundary follows the <= convention the tumbling-window "
+    "parity pinned. A session-merge, state-eviction, or emission "
+    "regression breaks this hash",
+)
+def q_streaming_session_window_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as globmod
+    import os
+    from big_data_processing_spark.sources.maintenance import (
+        scratch_dir,
+    )
+
+    from big_data_processing_spark.streaming.windowed import (
+        read_event_stream,
+        run_stream_to_memory,
+        session_window_values,
+    )
+
+    # Same time-range chunking as stateful_sessions_parity: ascending
+    # partition ranges + pinned mtimes → deterministic in-order
+    # micro-batches; sessions spanning chunk boundaries exercise the
+    # state-store merge path.
+    work = scratch_dir("sswp_chunks", sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    events.repartitionByRange(4, "ts").write.parquet(f"{work}/chunks")
+    for i, p in enumerate(
+        sorted(globmod.glob(f"{work}/chunks/part-*.parquet"))
+    ):
+        os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    stream = read_event_stream(spark, f"{work}/chunks", glob="part-*.parquet")
+    sessions = session_window_values(
+        stream, gap="30 minutes", watermark="2 hours"
+    )
+    got = run_stream_to_memory(sessions, "sswp", output_mode="append")
+    return got.orderBy("user_id", "session_start")
+
+
+@register(
     "video_frame_features",
     """
     WITH ids AS (

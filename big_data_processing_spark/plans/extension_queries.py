@@ -3130,6 +3130,47 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "ngram_jaccard_prefix",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             list_distinct([substr(s, i, 3)
+                            FOR i IN range(1, greatest(len(s) - 1, 1))]) AS grams
+      FROM (SELECT doc_id, lang, n_chars, {NORM_SQL} AS s FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+             AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact Jaccard >= 0.6 pairs via PREFIX FILTERING (AllPairs/"
+    "SSJoin): each gram set indexes only its sz-ceil(t*sz)+1 rarest "
+    "grams under one per-block (df, gram) order — pigeonhole makes "
+    "recall FULL at the threshold (no max_df recall valve), and the "
+    "exact verifier makes precision exact. The oracle is the plain "
+    "blocked all-pairs SQL, so the hash check proves full recall "
+    "against an implementation that never heard of prefixes",
+)
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    return jaccard_prefix_filter_pairs(
+        docs, "text", "doc_id", ["lang", "len_bucket"], n=3, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Chunking, mixture rebalancing, embedding quantization
 # ---------------------------------------------------------------------------

@@ -348,3 +348,50 @@ def test_enrich_stream_static_matches_batch(spark):
     assert [(r.mktsegment, r.n_events, r.total_value) for r in got] == [
         (a, b, c) for a, b, c in exp
     ]
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin the measured engine rule the parity oracle encodes: an
+    event at EXACTLY last+gap merges into the session (new session
+    only strictly beyond the gap), and the emitted window end is
+    last event + gap."""
+    import datetime
+
+    from big_data_processing_spark.streaming.windowed import (
+        session_window_values,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(uid, *offsets_min):
+        return [
+            (uid, base + datetime.timedelta(minutes=m), 1.0)
+            for m in offsets_min
+        ]
+
+    rows = (
+        mk(1, 0, 30)          # exactly gap apart -> ONE session
+        + mk(2, 0, 30.02)     # just beyond gap -> TWO sessions
+        + mk(3, 0, 29.98)     # within gap -> ONE session
+        # a closer far apart so every session above is watermark-closed
+        + mk(1, 60 * 24) + mk(2, 60 * 24) + mk(3, 60 * 24)
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    # batch mode shares the session-merge algebra with streaming
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_window_values(df).collect()
+    }
+    g30 = datetime.timedelta(minutes=30)
+    assert (1, base, base + g30 + g30, 2) in got          # merged
+    assert (3, base, base + datetime.timedelta(minutes=29.98) + g30, 2) in got
+    two_a = (2, base, base + g30, 1)
+    two_b = (
+        2,
+        base + datetime.timedelta(minutes=30.02),
+        base + datetime.timedelta(minutes=30.02) + g30,
+        1,
+    )
+    assert two_a in got and two_b in got
