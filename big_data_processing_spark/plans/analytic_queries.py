@@ -275,6 +275,63 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT date_trunc('month', l_shipdate) AS month,
+           {dsum_round_sql("l_extendedprice * (1 - l_discount)", 2)}
+             AS revenue,
+           {dsum_round_sql(
+               "CASE WHEN p_type = 'PROMO' THEN "
+               "l_extendedprice * (1 - l_discount) ELSE 0.0 END", 2)}
+             AS promo_revenue,
+           round(({dsum_round_sql(
+               "CASE WHEN p_type = 'PROMO' THEN "
+               "l_extendedprice * (1 - l_discount) ELSE 0.0 END", 2)})
+             / ({dsum_round_sql(
+                 "l_extendedprice * (1 - l_discount)", 2)}), 6)
+             AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q14 shape: monthly promo-revenue share via conditional "
+    "aggregation over the lineitem⋈part join. part broadcasts (2k·SF "
+    "rows, two columns after pruning) so the fact table never "
+    "shuffles for the join; one partial-agg'd groupBy(month) is the "
+    "only exchange. Both sums use the integer-space dsum_round "
+    "recipe (the 4-decimal revenue product is exactly the "
+    "decimal-tie class local_supplier_volume hit at sf1) and the "
+    "share divides the two already-identical doubles "
+    "(round-before-divide, the nation_revenue_share recipe)",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("rev", rev)
+        .withColumn(
+            "promo_rev",
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)),
+        )
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            dsum_round("rev", 2).alias("revenue"),
+            dsum_round("promo_rev", 2).alias("promo_revenue"),
+        )
+    )
+    return agg.select(
+        "month",
+        "revenue",
+        "promo_revenue",
+        F.round(F.col("promo_revenue") / F.col("revenue"), 6).alias(
+            "promo_share"
+        ),
+    ).orderBy("month")
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton) curve — multi-dimensional layout clustering key
 # ---------------------------------------------------------------------------

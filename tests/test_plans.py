@@ -381,3 +381,19 @@ def test_bm25_prunes_postings_at_the_generator(spark):
     # the top-k must run as WindowGroupLimit (rank pushdown), not a
     # full per-partition sort + post-filter
     assert "WindowGroupLimit" in plan
+
+
+def test_promo_share_broadcasts_part_and_prunes_lineitem(spark):
+    """Q14 shape: part must broadcast (no fact shuffle for the join)
+    and the lineitem scan must read only the four needed columns."""
+    plan = _plan(SPECS["promo_revenue_share"].fn(spark, SF0001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    li_schemas = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_partkey" in l
+    ]
+    assert li_schemas, "lineitem scan schema not found"
+    for l in li_schemas:
+        assert "l_extendedprice" in l and "l_shipdate" in l
+        assert "l_quantity" not in l and "l_returnflag" not in l

@@ -54,7 +54,12 @@ FAMILY = (
     "ngram_jaccard_capped",
     "near_dup_clusters",
     "cluster_representatives",
+    # prefix-filter join: registered oracle is the same blocked
+    # all-pairs SQL at threshold 0.6 — a filter of pairs_all, since
+    # the stored jaccard is already round(..., 6)
+    "ngram_jaccard_prefix",
 )
+PREFIX_THRESHOLD = 0.6
 
 
 def build_shared(con: duckdb.DuckDBPyConnection, sf_dir: str,
@@ -190,6 +195,10 @@ def family_oracles(
     if uncapped:
         out["ngram_jaccard_pairs"] = con.execute(
             "SELECT id_a, id_b, jaccard FROM pairs_all"
+        ).fetchdf()
+        out["ngram_jaccard_prefix"] = con.execute(
+            f"SELECT id_a, id_b, jaccard FROM pairs_all "
+            f"WHERE jaccard >= {PREFIX_THRESHOLD} ORDER BY id_a, id_b"
         ).fetchdf()
     clusters = clusters_from_pairs(out["ngram_jaccard_capped"])
     out["near_dup_clusters"] = clusters.sort_values("id").reset_index(
