@@ -149,11 +149,22 @@ def main() -> None:
     print(f"bench: md5_minhash_build {timings['md5_minhash_build']}s "
           "(cold, memoized for consumers)", file=sys.stderr)
 
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite to a named
+    # subset — for targeted slope runs (e.g. pricing just the
+    # round's new entries at sf1) when the full suite doesn't fit a
+    # measurement window. The emitted JSON is a partial artifact:
+    # "only" records the restriction so it can't be mistaken for a
+    # full-suite total.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = {q for q in only_env.split(",") if q} if only_env else None
+
     # fixed alphabetical execution order, independent of registry
     # insertion order, so per-query timings stay comparable across
     # rounds (JVM/JIT warm-state depends on position)
     for name in sorted(SPECS):
         spec = SPECS[name]
+        if only is not None and name not in only:
+            continue
         try:
             if warmup_env == "adaptive":
                 # Every pass is timed and the MINIMUM is recorded:
@@ -200,11 +211,12 @@ def main() -> None:
     # the line outgrew ~2000 chars), so cap it well under that.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(
-            {"metric": "total_query_wall_time", "value": total,
-             "unit": "sec", "queries": timings, "sf": sf,
-             "warmup": warmup_env},
-            fh, indent=1)
+        detail = {"metric": "total_query_wall_time", "value": total,
+                  "unit": "sec", "queries": timings, "sf": sf,
+                  "warmup": warmup_env}
+        if only is not None:
+            detail["only"] = sorted(only)
+        json.dump(detail, fh, indent=1)
 
     # same 3-dp precision as the sidecar and the total
     shown = {k: round(v, 3) for k, v in timings.items()}
@@ -214,6 +226,8 @@ def main() -> None:
         payload = {"metric": "total_query_wall_time", "value": total,
                    "unit": "sec", "queries": q, "sf": sf,
                    "warmup": warmup_env}
+        if only is not None:
+            payload["only_subset"] = len(only)
         omitted = len(timings) - len(q)
         if omitted:
             payload["queries_omitted"] = omitted
