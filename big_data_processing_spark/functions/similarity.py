@@ -790,6 +790,39 @@ def _train_centroids_kmeans_cached(vecs, n_centroids: int, iters: int = 5):
     return _TRAIN_CACHE[key]
 
 
+def warm_pq_training(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int = 4096,
+    pq_params: tuple = ((32, 256), (16, 64)),
+    ivf_cells: tuple = (16,),
+) -> int:
+    """Populate the driver-side training memo for the registered
+    PQ/IVFPQ parameter sets on ``corpus``'s deterministic training
+    sample (the same orderBy(id).limit recipe every PQ operator
+    uses, so the cache keys match exactly). Exists so a bench can
+    time one-time codebook training as its OWN entry — the
+    doc_cluster_build honesty rule: the first PQ query in a cold
+    session otherwise absorbs training (measured at sf1: 75.0 s cold
+    vs 9.7 s warm for ivfpq) and its per-query number overstates the
+    steady state. Returns how many cache entries were built (0 when
+    already warm)."""
+    train = [
+        r[0]
+        for r in corpus.select(vec_col)
+        .orderBy(id_col)
+        .limit(train_limit)
+        .collect()
+    ]
+    before = len(_TRAIN_CACHE)
+    for m, ksub in pq_params:
+        _train_pq_codebooks_cached(train, m=m, ksub=ksub)
+    for n_cells in ivf_cells:
+        _train_centroids_kmeans_cached(train, n_cells)
+    return len(_TRAIN_CACHE) - before
+
+
 def _train_pq_codebooks(vecs, m: int, ksub: int, iters: int = 8):
     """Driver-side product-quantizer training (Jégou et al. 2011):
     unit-normalize the sample, split the dimension into ``m``
