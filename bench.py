@@ -62,6 +62,46 @@ def main() -> None:
     warmup_env = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "adaptive")
     timings: dict[str, float] = {}
 
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite to a named
+    # subset — for targeted slope runs (e.g. pricing just a round's
+    # new entries at sf1) when the full suite doesn't fit a
+    # measurement window. Parsed BEFORE the warm builds so a subset
+    # run doesn't pay (or record) build entries whose consumers
+    # aren't requested. The emitted JSON is a partial artifact:
+    # "only" records the restriction so it can't be mistaken for a
+    # full-suite total.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = {q for q in only_env.split(",") if q} if only_env else None
+    # Queries that read a session-memoized frame some build entry
+    # below materializes: the build runs (and is timed) only when a
+    # consumer is in the requested subset. Full runs pay all builds.
+    build_consumers = {
+        "doc_cluster_build": {
+            "near_dup_clusters", "cluster_representatives",
+        },
+        "md5_minhash_build": {
+            "minhash_near_dup_checked", "minhash_fastpath_audit",
+        },
+        "pq_train_build": {
+            "cosine_topk_pq", "cosine_topk_pq_rerank",
+            "cosine_topk_ivfpq", "pq_recall_floor_audit",
+        },
+    }
+    if only is not None:
+        # a misspelled name would otherwise be silently skipped and
+        # the partial artifact would look like a real measurement
+        unknown = only - set(SPECS) - set(build_consumers)
+        if unknown:
+            raise SystemExit(
+                f"bench: SPARK_GRAFT_BENCH_ONLY names not in the "
+                f"registry: {sorted(unknown)}"
+            )
+
+    def build_wanted(build_name: str) -> bool:
+        if only is None:
+            return True
+        return build_name in only or bool(build_consumers[build_name] & only)
+
     def hygiene() -> None:
         """Between-passes isolation: clear Dataset caches, free leaked
         localCheckpoint blocks (clearCache can't), and force BOTH
@@ -130,11 +170,12 @@ def main() -> None:
               f"{round(time.perf_counter() - t0, 3)}s at {warm_dir}",
               file=sys.stderr)
 
-    t0 = time.perf_counter()
-    doc_near_dup_clusters(spark, sf_dir)  # eager checkpoint: materializes
-    timings["doc_cluster_build"] = round(time.perf_counter() - t0, 3)
-    print(f"bench: doc_cluster_build {timings['doc_cluster_build']}s "
-          "(cold, memoized for consumers)", file=sys.stderr)
+    if build_wanted("doc_cluster_build"):
+        t0 = time.perf_counter()
+        doc_near_dup_clusters(spark, sf_dir)  # eager checkpoint
+        timings["doc_cluster_build"] = round(time.perf_counter() - t0, 3)
+        print(f"bench: doc_cluster_build {timings['doc_cluster_build']}s "
+              "(cold, memoized for consumers)", file=sys.stderr)
 
     # Same honesty rule for the md5 MinHash audit frames (r7): their
     # one-time materialization is timed as its own entry so
@@ -143,11 +184,12 @@ def main() -> None:
         md5_minhash_frames,
     )
 
-    t0 = time.perf_counter()
-    md5_minhash_frames(spark, sf_dir)  # eager checkpoints: materialize
-    timings["md5_minhash_build"] = round(time.perf_counter() - t0, 3)
-    print(f"bench: md5_minhash_build {timings['md5_minhash_build']}s "
-          "(cold, memoized for consumers)", file=sys.stderr)
+    if build_wanted("md5_minhash_build"):
+        t0 = time.perf_counter()
+        md5_minhash_frames(spark, sf_dir)  # eager checkpoints
+        timings["md5_minhash_build"] = round(time.perf_counter() - t0, 3)
+        print(f"bench: md5_minhash_build {timings['md5_minhash_build']}s "
+              "(cold, memoized for consumers)", file=sys.stderr)
 
     # Same rule for PQ/IVFPQ codebook training (r10: the first
     # PQ-family entry in a cold session absorbed training — 75.0 s
@@ -159,20 +201,12 @@ def main() -> None:
     )
     from big_data_processing_spark.sources.catalog import load_table
 
-    t0 = time.perf_counter()
-    warm_pq_training(load_table(spark, sf_dir, "embeddings"))
-    timings["pq_train_build"] = round(time.perf_counter() - t0, 3)
-    print(f"bench: pq_train_build {timings['pq_train_build']}s "
-          "(cold, memoized for consumers)", file=sys.stderr)
-
-    # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite to a named
-    # subset — for targeted slope runs (e.g. pricing just the
-    # round's new entries at sf1) when the full suite doesn't fit a
-    # measurement window. The emitted JSON is a partial artifact:
-    # "only" records the restriction so it can't be mistaken for a
-    # full-suite total.
-    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    only = {q for q in only_env.split(",") if q} if only_env else None
+    if build_wanted("pq_train_build"):
+        t0 = time.perf_counter()
+        warm_pq_training(load_table(spark, sf_dir, "embeddings"))
+        timings["pq_train_build"] = round(time.perf_counter() - t0, 3)
+        print(f"bench: pq_train_build {timings['pq_train_build']}s "
+              "(cold, memoized for consumers)", file=sys.stderr)
 
     # fixed alphabetical execution order, independent of registry
     # insertion order, so per-query timings stay comparable across

@@ -597,6 +597,25 @@ def jaccard_prefix_filter_pairs(
         # referenced 3× below (prefix build + both verify sides)
         .localCheckpoint(eager=False)
     )
+    cand = _prefix_filter_candidates(base, block_cols, id_col, threshold)
+    return _verify_jaccard_candidates(base, cand, id_col, threshold)
+
+
+def _prefix_filter_candidates(
+    base: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """The AllPairs candidate generator behind
+    :func:`jaccard_prefix_filter_pairs`, pre-verification: distinct
+    (id_a, id_b) pairs surviving the prefix + length filters.
+    Exposed separately so the pruning behavior is directly
+    observable — tests assert |candidates| shrinks with threshold
+    and sits strictly below the full intra-block pair count, and
+    the adaptive dispatch estimates its cost from the same gram-df
+    statistics this generator keys on. ``base`` is the
+    (*block_cols, id, grams) frame the caller checkpointed."""
     exploded = base.select(
         *block_cols, F.col(id_col), F.explode("grams").alias("g")
     )
@@ -665,7 +684,7 @@ def jaccard_prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard_candidates(base, cand, id_col, threshold)
+    return cand
 
 
 def md5_gram_sets(

@@ -759,6 +759,24 @@ def quantize_embeddings(
 
 _TRAIN_CACHE: dict[tuple, object] = {}
 
+# The (m, ksub) / n_cells parameter sets of every REGISTERED PQ/IVF
+# query (plans/extension_queries.py imports these for its
+# registrations, and warm_pq_training's defaults derive from them):
+# a future PQ query that registered with new literals would silently
+# fall back to absorbing codebook training in its first run,
+# reintroducing the cold/warm bench skew warm_pq_training exists to
+# remove. One constant, two importers, plus a pytest
+# (tests/test_similarity.py test_warm_pq_training_covers_registered_
+# pq_queries) asserting the warmed set covers every registered query.
+PQ_PARAMS_MAIN: tuple[int, int] = (32, 256)   # pq_adc / ivfpq codes
+PQ_PARAMS_RERANK: tuple[int, int] = (16, 64)  # pq_rerank shortlist
+REGISTERED_PQ_PARAMS: tuple[tuple[int, int], ...] = (
+    PQ_PARAMS_MAIN,
+    PQ_PARAMS_RERANK,
+)
+IVF_CELLS_DEFAULT: int = 16
+REGISTERED_IVF_CELLS: tuple[int, ...] = (IVF_CELLS_DEFAULT,)
+
 
 def _sample_digest(vecs) -> str:
     """Cheap identity for a training sample: md5 of the raw float64
@@ -795,8 +813,8 @@ def warm_pq_training(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_limit: int = 4096,
-    pq_params: tuple = ((32, 256), (16, 64)),
-    ivf_cells: tuple = (16,),
+    pq_params: tuple = REGISTERED_PQ_PARAMS,
+    ivf_cells: tuple = REGISTERED_IVF_CELLS,
 ) -> int:
     """Populate the driver-side training memo for the registered
     PQ/IVFPQ parameter sets on ``corpus``'s deterministic training

@@ -24,6 +24,9 @@ from big_data_processing_spark.functions.dedup import (
     simhash_near_duplicates,
 )
 from big_data_processing_spark.functions.similarity import (
+    IVF_CELLS_DEFAULT,
+    PQ_PARAMS_MAIN,
+    PQ_PARAMS_RERANK,
     brute_force_cosine_topk,
     lsh_cosine_topk,
 )
@@ -4794,7 +4797,8 @@ def q_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return pq_adc_topk(emb, queries, k=5, m=32, ksub=256).orderBy(
+    m, ksub = PQ_PARAMS_MAIN
+    return pq_adc_topk(emb, queries, k=5, m=m, ksub=ksub).orderBy(
         "query_id", "rank"
     )
 
@@ -4817,7 +4821,8 @@ def q_cosine_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_rerank_topk(
-        emb, queries, k=5, shortlist=50, m=16, ksub=64
+        emb, queries, k=5, shortlist=50,
+        m=PQ_PARAMS_RERANK[0], ksub=PQ_PARAMS_RERANK[1]
     ).orderBy("query_id", "rank")
 
 
@@ -4854,10 +4859,13 @@ def q_pq_recall_floor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_cosine_topk(emb, queries, k=5).localCheckpoint(
         eager=False
     )
-    adc = pq_adc_topk(emb, queries, k=5, m=32, ksub=256)
-    rerank = pq_rerank_topk(emb, queries, k=5, shortlist=50, m=16, ksub=64)
+    adc = pq_adc_topk(emb, queries, k=5, m=PQ_PARAMS_MAIN[0],
+                       ksub=PQ_PARAMS_MAIN[1])
+    rerank = pq_rerank_topk(emb, queries, k=5, shortlist=50,
+                            m=PQ_PARAMS_RERANK[0], ksub=PQ_PARAMS_RERANK[1])
     ivfpq = ivfpq_topk(
-        emb, queries, k=5, n_cells=16, n_probe=4, m=32, ksub=256
+        emb, queries, k=5, n_cells=IVF_CELLS_DEFAULT, n_probe=4,
+        m=PQ_PARAMS_MAIN[0], ksub=PQ_PARAMS_MAIN[1]
     )
     rows = []
     for method, approx, floor in (
@@ -4899,7 +4907,8 @@ def q_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivfpq_topk(
-        emb, queries, k=5, n_cells=16, n_probe=4, m=32, ksub=256
+        emb, queries, k=5, n_cells=IVF_CELLS_DEFAULT, n_probe=4,
+        m=PQ_PARAMS_MAIN[0], ksub=PQ_PARAMS_MAIN[1]
     ).orderBy("query_id", "rank")
 
 

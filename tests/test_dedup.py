@@ -227,30 +227,44 @@ def test_prefix_filter_float_boundary_subset_pair(spark):
 
 
 def test_prefix_filter_candidates_shrink_with_threshold(spark):
-    """The generator must actually PRUNE: at t=0.9 the candidate
-    count on a mixed corpus is strictly below the full inverted
-    index's intra-block pair count (scale-posture guard, not just
-    correctness)."""
+    """The generator must actually PRUNE — measured on the
+    PRE-verification candidate set (_prefix_filter_candidates), not
+    the verified results (whose monotonicity is trivial): at t=0.9
+    the candidate count must be strictly below BOTH the full
+    intra-block pair count (Σ_block n·(n-1)/2 — what an unfiltered
+    self-join would verify) and the t=0.5 candidate count (longer
+    prefixes at lower thresholds admit more candidates)."""
+    from pyspark.sql import functions as F
+
     from big_data_processing_spark.functions.dedup import (
-        _verify_jaccard_candidates,  # noqa: F401 — helper exists
-        jaccard_prefix_filter_pairs,
+        _prefix_filter_candidates,
+        char_ngram_hashes_of_norm,
+        normalize_text,
     )
     from big_data_processing_spark.sources.catalog import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
         "doc_id", "lang", "text"
     )
-    # count candidate pairs surviving the prefix+length filters by
-    # re-running the generator with threshold t but verifying at 0:
-    # jaccard_prefix_filter_pairs verifies internally, so instead
-    # compare RESULT sizes across thresholds as a monotonicity check
-    n_low = jaccard_prefix_filter_pairs(
-        docs, "text", "doc_id", ["lang"], n=3, threshold=0.5
-    ).count()
-    n_high = jaccard_prefix_filter_pairs(
-        docs, "text", "doc_id", ["lang"], n=3, threshold=0.9
-    ).count()
-    assert n_high <= n_low
+    base = docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        char_ngram_hashes_of_norm(
+            normalize_text(F.col("text")), 3
+        ).alias("grams"),
+    ).localCheckpoint(eager=False)
+    n_cand = {
+        t: _prefix_filter_candidates(base, ["lang"], "doc_id", t).count()
+        for t in (0.5, 0.9)
+    }
+    all_pairs = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert n_cand[0.9] < n_cand[0.5], n_cand
+    assert n_cand[0.9] < all_pairs, (n_cand, all_pairs)
 
 
 def test_minhash_md5_finds_planted_near_dup(spark):

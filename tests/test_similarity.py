@@ -473,3 +473,34 @@ def test_ivfpq_topk_contract(spark):
         m=32, ksub=256,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_warm_pq_training_covers_registered_pq_queries(spark):
+    """warm_pq_training's default parameter sets (the shared
+    REGISTERED_PQ_PARAMS / REGISTERED_IVF_CELLS constants the plan
+    registrations import) must cover EVERY registered PQ-family
+    query: after warming, executing each query adds zero training
+    cache entries. A new PQ query registered with literals outside
+    the shared constants would fail here — the guard against
+    silently reintroducing the cold/warm bench skew the pq_train
+    build entry exists to remove."""
+    from big_data_processing_spark.functions.similarity import (
+        _TRAIN_CACHE,
+        warm_pq_training,
+    )
+    from big_data_processing_spark.plans.registry import SPECS
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    warm_pq_training(load_table(spark, SF0001, "embeddings"))
+    before = len(_TRAIN_CACHE)
+    for name in (
+        "cosine_topk_pq",
+        "cosine_topk_pq_rerank",
+        "cosine_topk_ivfpq",
+        "pq_recall_floor_audit",
+    ):
+        SPECS[name].fn(spark, SF0001).count()
+        assert len(_TRAIN_CACHE) == before, (
+            f"{name} trained outside the warmed parameter sets"
+        )
