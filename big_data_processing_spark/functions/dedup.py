@@ -450,23 +450,7 @@ def ngram_jaccard_pairs(
         *block_cols, F.col(id_col), F.explode("grams").alias("g")
     )
     if max_df is not None:
-        rare_grams = (
-            exploded.groupBy(*block_cols, "g")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select(*block_cols, "g")
-        )
-        rare = exploded.join(rare_grams, on=[*block_cols, "g"])
-        cand = (
-            rare.select(*block_cols, F.col(id_col).alias("id_a"), "g")
-            .join(
-                rare.select(*block_cols, F.col(id_col).alias("id_b"), "g"),
-                on=[*block_cols, "g"],
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
+        cand = _capped_candidates(exploded, block_cols, id_col, max_df)
         # exact verification on the full gram arrays — only the
         # (small) candidate set pays the per-pair array shuffle
         return _verify_jaccard_candidates(base, cand, id_col, threshold)
@@ -685,6 +669,218 @@ def _prefix_filter_candidates(
         .distinct()
     )
     return cand
+
+
+def choose_similarity_plan(
+    base: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    threshold: float,
+    max_df: int,
+    cost_ratio: float = 1.0,
+) -> dict:
+    """Estimate, from MEASURED gram-df statistics, whether the
+    prefix-filter or the df-capped inverted index is the cheaper
+    candidate generator for this corpus, and return the decision
+    with its evidence. ``base`` is the (*block_cols, id, grams)
+    frame both generators start from.
+
+    Candidate work for an inverted index is Σ_gram df·(df−1)/2 over
+    whatever grams get indexed. The two generators index different
+    slices:
+
+    - capped: every gram with block-local df ≤ max_df →
+      ``w_capped = Σ_{df≤max_df} df·(df−1)/2`` (exact, measured).
+    - prefix: each doc's sz−ceil(t·sz)+1 RAREST grams. True work is
+      Σ_gram prefix-df², unknowable without building the prefixes,
+      but the total prefix mass IS known (``prefix_slots`` =
+      Σ_docs(sz−ceil(t·sz)+1)) and rarity-first filling means the
+      mass lands on the low-df end of the measured df distribution:
+      fill grams greedily in (df asc) order until the slots are
+      spent and charge o·(o−1)/2 per gram at its filled occupancy
+      ``o`` → ``w_prefix_est``. An estimate, not a bound (per-doc
+      constraints can push mass onto commoner grams), but on the
+      corpora that matter the two estimates differ by orders of
+      magnitude, not factors: the 377-distinct-gram documents table
+      (prefix slots can only land on ubiquitous grams →
+      w_prefix_est ≈ 10⁴× w_capped at sf0.01) vs a natural-vocab
+      corpus (df mostly 1-2, cap a no-op → w_prefix_est < w_capped).
+
+    Cost: one groupBy over the exploded gram table (the same agg
+    both generators' first stage runs anyway), one vocab-sized
+    window cumsum, two scalar collects. Returns
+    ``{"plan": "prefix"|"capped", "w_prefix_est", "w_capped",
+    "prefix_slots"}`` — prefix wins ties at ``cost_ratio`` 1.0
+    since it is the full-recall plan.
+
+    All arithmetic is INTEGER (pair counts; c·(c−1) is always even,
+    so DIV 2 is exact), which makes the decision bit-reproducible in
+    any engine from the same corpus — the registered oracle
+    (similarity_join_auto) recomputes these statistics in DuckDB SQL
+    and checks the output of whichever plan the statistics choose,
+    so the hash gate covers the DISPATCH, not just a plan's output.
+    Tie order among equal-df grams doesn't matter: the greedy-fill
+    sum depends only on the df-sorted multiset (equal-df grams are
+    interchangeable at the slot boundary)."""
+    from pyspark.sql.window import Window
+
+    eps = F.lit(1e-6)
+    slots_expr = (
+        F.size("grams")
+        - F.ceil(F.lit(threshold) * F.size("grams") - eps)
+        + F.lit(1)
+    )
+    prefix_slots = int(
+        base.agg(F.sum(slots_expr).alias("s")).collect()[0]["s"] or 0
+    )
+    gram_df = (
+        base.select(
+            *block_cols, F.explode("grams").alias("g")
+        )
+        .groupBy(*block_cols, "g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+    def pair_work(c):
+        # c·(c−1) is even, so the shift is exact integer division —
+        # no double intermediates that could round past 2^53
+        return F.shiftright((c * (c - F.lit(1))).cast("long"), 1)
+
+    w = (
+        Window.orderBy(F.col("__df"), *block_cols, "g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    occupancy = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.col("__df"),
+            F.lit(prefix_slots) - (F.col("__cum") - F.col("__df")),
+        ),
+    )
+    row = (
+        gram_df.withColumn("__cum", F.sum("__df").over(w))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__df") <= max_df, pair_work(F.col("__df"))
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("w_capped"),
+            F.sum(pair_work(occupancy)).cast("long").alias(
+                "w_prefix_est"
+            ),
+        )
+        .collect()[0]
+    )
+    w_capped = int(row["w_capped"] or 0)
+    w_prefix = int(row["w_prefix_est"] or 0)
+    return {
+        "plan": "prefix" if w_prefix <= cost_ratio * w_capped else "capped",
+        "w_prefix_est": w_prefix,
+        "w_capped": w_capped,
+        "prefix_slots": prefix_slots,
+    }
+
+
+def similarity_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 200,
+    auto: bool = True,
+    cost_ratio: float = 1.0,
+) -> DataFrame:
+    """N-gram Jaccard similarity join with ADAPTIVE plan dispatch:
+    measure the corpus's gram-df distribution (one agg over the
+    gram table — :func:`choose_similarity_plan`) and pick whichever
+    exact-verified candidate generator is cheaper for THIS corpus
+    instead of leaving the choice to a docstring:
+
+    - prefix filter (:func:`jaccard_prefix_filter_pairs`) — full
+      recall, output-sensitive; right when the vocabulary is rich
+      enough that rare grams exist for every prefix. On the
+      low-vocab worst case it degrades badly (measured 3× the
+      capped sibling at sf0.1 and 336 s cold at sf1 on the
+      377-gram documents corpus — the motivating case).
+    - df-capped inverted index (:func:`ngram_jaccard_pairs` with
+      ``max_df``) — linear candidate work, one-sided recall valve
+      (pairs sharing ONLY >max_df ubiquitous grams are missed,
+      the stop-word-dropping standard).
+
+    Both verify candidates exactly on the full gram arrays, so
+    precision is always exact; the dispatch trades the recall valve
+    against candidate-work blowup per corpus shape. ``auto=False``
+    keeps the prefix plan unconditionally (full recall, cost be
+    damned). The planning agg shares the generators' own first
+    stage (gram explode + df count), so at 100 TB it costs one
+    extra linear pass + a vocab-sized sort — noise against the
+    candidate join it sizes."""
+    if not auto:
+        return jaccard_prefix_filter_pairs(
+            df, text_col, id_col, block_cols, n=n, threshold=threshold
+        )
+    base = (
+        _spread(
+            df.select(
+                F.col(id_col), *[F.col(c) for c in block_cols],
+                F.col(text_col),
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            char_ngram_hashes_of_norm(
+                normalize_text(F.col(text_col)), n
+            ).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    decision = choose_similarity_plan(
+        base, block_cols, id_col, threshold, max_df, cost_ratio
+    )
+    if decision["plan"] == "prefix":
+        cand = _prefix_filter_candidates(
+            base, block_cols, id_col, threshold
+        )
+    else:
+        exploded = base.select(
+            *block_cols, F.col(id_col), F.explode("grams").alias("g")
+        )
+        cand = _capped_candidates(exploded, block_cols, id_col, max_df)
+    return _verify_jaccard_candidates(base, cand, id_col, threshold)
+
+
+def _capped_candidates(
+    exploded: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    max_df: int,
+) -> DataFrame:
+    """df-capped inverted-index candidate pairs over an exploded
+    (*block_cols, id, g) gram table: pairs are generated only from
+    grams with block-local document frequency ≤ max_df, bounding
+    candidate work at max_df × corpus grams (linear). Shared by
+    :func:`ngram_jaccard_pairs` and :func:`similarity_join`."""
+    rare_grams = (
+        exploded.groupBy(*block_cols, "g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select(*block_cols, "g")
+    )
+    rare = exploded.join(rare_grams, on=[*block_cols, "g"])
+    return (
+        rare.select(*block_cols, F.col(id_col).alias("id_a"), "g")
+        .join(
+            rare.select(*block_cols, F.col(id_col).alias("id_b"), "g"),
+            on=[*block_cols, "g"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def md5_gram_sets(

@@ -556,3 +556,72 @@ def test_simhash_audit_linear_on_all_duplicates_corpus(spark, tmp_path):
     r = rows_out[0]
     assert r.n_identical == c * (c - 1) // 2
     assert r.identical_ok and r.precision_floor_ok
+
+
+def test_similarity_join_auto_dispatch(spark):
+    """The adaptive dispatch must CHOOSE per corpus shape (plan-
+    asserted on the optimized plan, not just the result): a rich
+    vocabulary (gram df mostly 1) picks the full-recall prefix
+    filter; a degenerate ubiquitous vocabulary (every gram df >
+    max_df, the 100 TB low-vocab failure mode) picks the df-capped
+    index. Results must equal the respective reference
+    implementation in both regimes."""
+    import hashlib
+
+    from big_data_processing_spark.functions.dedup import (
+        choose_similarity_plan,
+        char_ngram_hashes_of_norm,
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+        normalize_text,
+        similarity_join,
+    )
+
+    def base_of(df):
+        return df.select(
+            "doc_id", "lang",
+            char_ngram_hashes_of_norm(
+                normalize_text(F.col("text")), 3
+            ).alias("grams"),
+        ).localCheckpoint(eager=False)
+
+    # rich vocab: md5-hex texts, grams nearly unique per doc
+    rich = spark.createDataFrame(
+        [(i, hashlib.md5(str(i).encode()).hexdigest() * 4, "en")
+         for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    d = choose_similarity_plan(base_of(rich), ["lang"], "doc_id", 0.9, 200)
+    assert d["plan"] == "prefix", d
+    out = similarity_join(
+        rich, "text", "doc_id", ["lang"], n=3, threshold=0.9, max_df=200
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "slice" in plan  # the prefix generator's signature
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, jaccard_prefix_filter_pairs(
+            rich, "text", "doc_id", ["lang"], n=3, threshold=0.9
+        ).collect())
+    )
+
+    # ubiquitous vocab: identical docs, every gram df = 300 > cap →
+    # w_capped = 0 < w_prefix → capped (the stop-word recall valve)
+    flat = spark.createDataFrame(
+        [(i, "the same boilerplate text in every document", "en")
+         for i in range(300)],
+        "doc_id long, text string, lang string",
+    )
+    d = choose_similarity_plan(base_of(flat), ["lang"], "doc_id", 0.9, 200)
+    assert d["plan"] == "capped", d
+    assert d["w_capped"] == 0 and d["w_prefix_est"] > 0
+    out = similarity_join(
+        flat, "text", "doc_id", ["lang"], n=3, threshold=0.9, max_df=200
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__df" in plan and "slice" not in plan
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ngram_jaccard_pairs(
+            flat, "text", "doc_id", ["lang"], n=3, threshold=0.9,
+            max_df=200,
+        ).collect())
+    )
