@@ -876,6 +876,70 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_span_removal",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(range(1, greatest(len(toks) - 3, 1))) AS i,
+             toks
+      FROM t WHERE len(toks) >= 5
+    ),
+    g2 AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
+           FROM g),
+    dupg AS (SELECT gram FROM g2
+             GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, pos
+      FROM (SELECT g2.doc_id, unnest(range(g2.i, g2.i + 5)) AS pos
+            FROM g2 JOIN dupg USING (gram))
+    ),
+    tokpos AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM t)
+    ),
+    kept AS (
+      SELECT tokpos.doc_id, tokpos.pos, tokpos.tok
+      FROM tokpos LEFT JOIN covered
+        ON tokpos.doc_id = covered.doc_id AND tokpos.pos = covered.pos
+      WHERE covered.pos IS NULL
+    ),
+    clean AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(clean.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(clean.text_clean, '') AS text_clean
+    FROM t LEFT JOIN clean ON clean.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="Exact-substring span REMOVAL (functions/hygiene.py "
+    "dup_span_removal — the surgery step dup_span_coverage only "
+    "measures): token positions covered by a 5-gram shared with >=2 "
+    "documents are excised and survivors rejoined in position order. "
+    "Fully relational (positioned-gram explode -> df agg -> covered-"
+    "position distinct -> anti-join at the (id,pos) grain -> ordered "
+    "re-agg); remove-all policy keeps n_removed identical to the "
+    "coverage query's n_dup_span_tokens (pytest-pinned), so filter "
+    "and surgery can never disagree. Oracle rebuilds the same "
+    "interval algebra in SQL including the rewritten text",
+)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.hygiene import (
+        dup_span_removal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_removal(docs, "text", "doc_id", n=5, min_docs=2).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "incremental_rollup_parity",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,

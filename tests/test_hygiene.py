@@ -262,3 +262,46 @@ def test_hybrid_rrf_fusion_contract(spark):
         scores = [r.rrf for r in rows]
         assert all(0 < s <= 2 / 61 + 1e-12 for s in scores)
         assert scores == sorted(scores, reverse=True)
+
+
+def test_dup_span_removal_consistent_with_coverage(spark):
+    """The surgery and the measurement must agree exactly:
+    dup_span_removal's n_removed == dup_span_coverage's
+    n_dup_span_tokens per document, survivors keep original token
+    order, and docs with zero coverage come back verbatim
+    (normalized)."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.hygiene import (
+        dup_span_coverage,
+        dup_span_removal,
+    )
+    from big_data_processing_spark.functions.text import tokens
+    from big_data_processing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cov = {
+        r.doc_id: r.n_dup_span_tokens
+        for r in dup_span_coverage(
+            docs, "text", "doc_id", n=5, min_docs=2
+        ).collect()
+    }
+    rem = dup_span_removal(docs, "text", "doc_id", n=5, min_docs=2)
+    rows = rem.collect()
+    assert {r.doc_id: r.n_removed for r in rows} == cov
+    # kept text is a subsequence of the normalized original, and
+    # untouched docs round-trip verbatim
+    norm = {
+        r.doc_id: r.toks
+        for r in docs.select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    for r in rows:
+        kept = r.text_clean.split(" ") if r.text_clean else []
+        assert len(kept) == r.n_tokens - r.n_removed
+        if r.n_removed == 0:
+            assert kept == norm[r.doc_id]
+        else:
+            it = iter(norm[r.doc_id])
+            assert all(tok in it for tok in kept), r.doc_id
