@@ -5349,3 +5349,88 @@ def q_streaming_near_dup_parity(
     )
     got = run_stream_to_memory(flagged, "snd", output_mode="append")
     return got.orderBy("doc_id", "hist_id")
+
+
+# ---------------------------------------------------------------------------
+# Persisted + incrementally extended ANN index (r10 verdict #7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_index_persistence_parity",
+    """
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           TRUE AS topk_identical,
+           CAST(5 AS BIGINT) AS k_rows
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+    doc="Persisted-ANN-index parity, hash-checked: an IVF-PQ index "
+    "built on 90% of the corpus, written to parquet (codes "
+    "PARTITIONED BY cell), reloaded, and incrementally EXTENDED "
+    "with the remaining 10% (encode-only under the stored "
+    "codebooks, parquet append) must return the IDENTICAL top-k "
+    "list per query as an index rebuilt from scratch on the full "
+    "corpus — encode is a pure function of (codebooks, vector) and "
+    "the training sample (lowest-256 ids) lives entirely in the "
+    "initial 90%, so extend(build(A), B) == build(A U B) exactly. "
+    "The serving scan reads ONLY probed cells via partition "
+    "pruning (functions/ann_index.py, plan-asserted in pytest) — "
+    "the incremental-ingest posture the streaming MinHash novelty "
+    "path demonstrates for dedup, here for retrieval",
+)
+def q_ann_index_persistence_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_processing_spark.functions.ann_index import (
+        build_ivfpq_index,
+        extend_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from big_data_processing_spark.sources.maintenance import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # exact 90th-percentile id: one bounded scalar. The delta (ids
+    # above it) is disjoint from the lowest-256-id training sample,
+    # the precondition for extend == rebuild.
+    cut = int(
+        emb.agg(F.expr("percentile(vec_id, 0.9)").alias("p"))
+        .collect()[0]["p"]
+    )
+    initial = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    path_a = scratch_dir("annidx_ext", sf_dir)
+    build_ivfpq_index(initial, path_a)
+    extend_ivfpq_index(delta, path_a)
+    path_b = scratch_dir("annidx_full", sf_dir)
+    build_ivfpq_index(emb, path_b)
+
+    qa = query_ivfpq_index(spark, path_a, queries)
+    qb = query_ivfpq_index(spark, path_b, queries)
+    both = qa.select(
+        "query_id", "rank",
+        F.col("vec_id").alias("id_a"), F.col("pq_cos").alias("cos_a"),
+    ).join(
+        qb.select(
+            "query_id", "rank",
+            F.col("vec_id").alias("id_b"), F.col("pq_cos").alias("cos_b"),
+        ),
+        on=["query_id", "rank"],
+        how="full",
+    )
+    return (
+        both.groupBy("query_id")
+        .agg(
+            F.min(
+                F.coalesce(
+                    (F.col("id_a") == F.col("id_b"))
+                    & (F.col("cos_a") == F.col("cos_b")),
+                    F.lit(False),
+                )
+            ).alias("topk_identical"),
+            F.count(F.lit(1)).cast("bigint").alias("k_rows"),
+        )
+        .select("query_id", "topk_identical", "k_rows")
+        .orderBy("query_id")
+    )

@@ -504,3 +504,47 @@ def test_warm_pq_training_covers_registered_pq_queries(spark):
         assert len(_TRAIN_CACHE) == before, (
             f"{name} trained outside the warmed parameter sets"
         )
+
+
+def test_persisted_ann_index_contract(spark, tmp_path):
+    """Persisted IVF-PQ index: (1) the serving scan reads only the
+    probed cell partitions (PartitionFilters on cell — the IVF
+    valve enforced at the file level); (2) a persisted index
+    returns exactly what the in-session ivfpq_topk operator would
+    at the same training params; (3) extend() appends without
+    touching existing codes."""
+    from big_data_processing_spark.functions.ann_index import (
+        build_ivfpq_index,
+        extend_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from big_data_processing_spark.functions.similarity import ivfpq_topk
+    from big_data_processing_spark.sources.catalog import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path)
+
+    out = query_ivfpq_index(spark, path, queries, k=5, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    insession = ivfpq_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4, m=16, ksub=64,
+        train_limit=256,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, insession.collect())
+    )
+
+    # extend with synthetic new rows: old ids' codes unchanged,
+    # new ids present in the codes table
+    n_before = spark.read.parquet(f"{path}/codes").count()
+    delta = emb.filter(F.col("vec_id") >= 450).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    extend_ivfpq_index(delta, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n_before + delta.count()
+    assert codes.filter(F.col("vec_id") >= 100000).count() == delta.count()
