@@ -228,6 +228,55 @@ def bloom_membership(key: str, bitmap: list[int], num_hashes: int = 5):
     return test
 
 
+def bloom_scan_filter(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    domain_count: int | None = None,
+    selectivity_max: float = 0.5,
+    max_dim_keys: int = 1 << 16,
+    num_hashes: int = 5,
+) -> tuple[DataFrame, bool]:
+    """COST-GATED Bloom semi-join reduction: measure the dim side,
+    and inject the bitmap filter at the fact scan only when it can
+    pay. Returns ``(fact', injected)`` — ``fact'`` is semantically
+    identical to ``fact`` for any subsequent inner join on
+    ``fact_key`` against ``dim`` (the bitmap admits every true
+    match; false positives die in the real join), so adopters keep
+    their join structure and their oracles unchanged.
+
+    The gate, from measured scalars (one bounded countDistinct on
+    the dim side):
+
+    - ``n ≤ max_dim_keys`` — the 14·n bits rule (k=5 → false-
+      positive rate < 1%, p ≈ (1−e^{−kn/m})^k) caps the broadcast
+      literal at 14·2^16 bits = 112 KiB at the default ceiling;
+      past that the filter stops being a cheap literal.
+    - ``n / domain_count ≤ selectivity_max`` (when the caller knows
+      the unfiltered key-domain size) — a bitmap of an UNselective
+      dim (local_supplier_volume's full customer table: every fact
+      row matches) filters nothing and only taxes the scan; the
+      gate declines and the plain join runs.
+
+    Bitmap sizing is derived, not fixed: the next multiple of 64
+    ≥ 14·n (floor 1024), so a 100-key dim costs a 1 Kib literal and
+    a 60K-key dim the full 112 KiB — the bounded-collect contract
+    scales with what the filter actually holds."""
+    n = dim.select(dim_key).distinct().count()
+    if n == 0 or n > max_dim_keys:
+        return fact, False
+    if domain_count and n / domain_count > selectivity_max:
+        return fact, False
+    num_bits = max(1024, ((14 * n + 63) // 64) * 64)
+    bitmap = bloom_bitmap(
+        dim.select(dim_key).distinct(), dim_key, num_bits, num_hashes
+    )
+    return fact.filter(
+        bloom_membership(fact_key, bitmap, num_hashes)
+    ), True
+
+
 def countmin_table(
     df: DataFrame,
     col: str,

@@ -242,6 +242,10 @@ def q_cumulative_distinct_users(
     "disagree — one nation's revenue did exactly that at sf1",
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.functions.sketches import (
+        bloom_scan_filter,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier").select(
@@ -252,6 +256,16 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
+    )
+    # Cost-gated Bloom reduction on the customer join: the dim here
+    # is the UNFILTERED customer table (every order matches), so the
+    # measured gate declines and the plain join runs — the negative
+    # leg of the bloom_semi_join_revenue pattern, plan-asserted in
+    # tests/test_plans.py. A selective customer predicate would flip
+    # it on with no other change to this query.
+    orders, _ = bloom_scan_filter(
+        orders, "o_custkey", cust, "c_custkey",
+        domain_count=cust.count(),
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

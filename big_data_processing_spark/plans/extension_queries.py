@@ -4689,38 +4689,41 @@ def q_sampler_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 7000
     GROUP BY 1 ORDER BY 1
     """,
-    doc="Bloom-filter semi-join reduction (functions/sketches.py "
-    "bloom_prefilter_join): monthly revenue from high-balance "
-    "BUILDING-segment customers. The selective dim side is folded "
-    "into a 2^17-bit Bloom bitmap (distributed bit_or build, "
-    "bounded 16 KiB collect) and applied as a literal JVM filter "
-    "expression AT THE ORDERS SCAN, so ~93% of fact rows die "
-    "before the join exchange; false positives are removed by the "
-    "broadcast join that follows, making the result EXACTLY the "
-    "plain inner join the oracle runs. The 100 TB play: cut the "
-    "fact shuffle with a sketch the driver can hold, a pattern "
-    "Spark's own runtime bloom injection only applies under "
-    "size thresholds and never across a Python-built frame",
+    doc="Bloom-filter semi-join reduction behind the COST GATE "
+    "(functions/sketches.py bloom_scan_filter): monthly revenue "
+    "from high-balance BUILDING-segment customers. The gate "
+    "measures the dim side (~7% of customers here — selective), "
+    "sizes the bitmap by the 14·|keys| rule, and applies it as a "
+    "literal JVM filter expression AT THE ORDERS SCAN, so ~93% of "
+    "fact rows die before the join exchange; false positives are "
+    "removed by the broadcast join that follows, making the result "
+    "EXACTLY the plain inner join the oracle runs. The same helper "
+    "DECLINES on local_supplier_volume's unselective customer dim "
+    "(plan-asserted both ways in tests/test_plans.py). The 100 TB "
+    "play: cut the fact shuffle with a sketch the driver can hold, "
+    "a pattern Spark's own runtime bloom injection only applies "
+    "under size thresholds and never across a Python-built frame",
 )
 def q_bloom_semi_join_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from big_data_processing_spark.functions.sketches import (
-        bloom_prefilter_join,
+        bloom_scan_filter,
     )
     from big_data_processing_spark.operators.aggregates import dsum
 
     orders = load_table(spark, sf_dir, "orders")
-    dim = (
-        load_table(spark, sf_dir, "customer")
-        .filter(
-            (F.col("c_mktsegment") == "BUILDING")
-            & (F.col("c_acctbal") > 7000)
-        )
-        .select("c_custkey")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.filter(
+        (F.col("c_mktsegment") == "BUILDING")
+        & (F.col("c_acctbal") > 7000)
+    ).select("c_custkey")
+    filtered, _ = bloom_scan_filter(
+        orders, "o_custkey", dim, "c_custkey",
+        domain_count=customer.count(),
     )
-    joined = bloom_prefilter_join(
-        orders, "o_custkey", dim, "c_custkey", num_bits=1 << 17
+    joined = filtered.join(
+        F.broadcast(dim), filtered["o_custkey"] == dim["c_custkey"]
     )
     return (
         joined.groupBy(

@@ -361,6 +361,44 @@ def test_bloom_prefilter_filters_fact_before_broadcast_join(spark):
     assert any("o_custkey" in l for l in filt), filt
 
 
+def test_bloom_gate_declines_on_unselective_dim(spark):
+    """The cost gate must measure, not assume: the SAME helper that
+    injects the getbit filter into bloom_semi_join_revenue (selective
+    dim, test above) must DECLINE on local_supplier_volume, whose
+    customer dim is the full key domain — a bitmap there filters
+    nothing and only taxes the scan."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.functions.sketches import (
+        bloom_scan_filter,
+    )
+    from big_data_processing_spark.sources.catalog import load_table
+
+    plan = _plan(SPECS["local_supplier_volume"].fn(spark, SF0001))
+    assert "getbit" not in plan, plan
+
+    # and directly: same query shape, selective predicate -> inject
+    orders = load_table(spark, SF0001, "orders")
+    customer = load_table(spark, SF0001, "customer")
+    sel = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    filtered, injected = bloom_scan_filter(
+        orders, "o_custkey", sel, "c_custkey",
+        domain_count=customer.count(),
+    )
+    assert injected
+    assert "getbit" in _plan(filtered)
+    # exactness: bloom-filtered fact joined to dim == plain join
+    plain = orders.join(sel, orders.o_custkey == sel.c_custkey)
+    blm = filtered.join(sel, filtered.o_custkey == sel.c_custkey)
+    assert blm.count() == plain.count()
+    # unselective dim (the full domain) -> declined, fact unchanged
+    _, injected = bloom_scan_filter(
+        orders, "o_custkey", customer.select("c_custkey"), "c_custkey",
+        domain_count=customer.count(),
+    )
+    assert not injected
+
+
 def test_bm25_prunes_postings_at_the_generator(spark):
     """The query-term IN filter must sit on the exploded token
     stream (above Generate, below any exchange) on BOTH the tf and
