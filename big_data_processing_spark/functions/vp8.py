@@ -1148,3 +1148,439 @@ def yuv420_to_rgb(y, u, v):
     g = yy - ((22554 * uu + 46802 * vv + 32768) >> 16)
     b = yy + ((116130 * uu + 32768) >> 16)
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# keyframe encoder (closed-loop fixture generator)
+# ---------------------------------------------------------------------------
+
+
+def _fdct4x4(block):
+    """Forward DCT (libvpx reference math); any deterministic
+    forward transform yields VALID streams — closed-loop exactness
+    comes from the encoder reconstructing through the DECODER's
+    inverse path — but using the reference fDCT keeps quantization
+    error near-optimal."""
+    tmp = [0] * 16
+    for i in range(4):
+        j = i * 4
+        a1 = (block[j] + block[j + 3]) * 8
+        b1 = (block[j + 1] + block[j + 2]) * 8
+        c1 = (block[j + 1] - block[j + 2]) * 8
+        d1 = (block[j] - block[j + 3]) * 8
+        tmp[j] = a1 + b1
+        tmp[j + 2] = a1 - b1
+        tmp[j + 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[j + 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = [0] * 16
+    for i in range(4):
+        a1 = tmp[i] + tmp[12 + i]
+        b1 = tmp[4 + i] + tmp[8 + i]
+        c1 = tmp[4 + i] - tmp[8 + i]
+        d1 = tmp[i] - tmp[12 + i]
+        out[i] = (a1 + b1 + 7) >> 4
+        out[8 + i] = (a1 - b1 + 7) >> 4
+        out[4 + i] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (
+            1 if d1 else 0
+        )
+        out[12 + i] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return out
+
+
+def _fwht4x4(block):
+    """Forward WHT for the 16 luma DC terms (libvpx reference)."""
+    tmp = [0] * 16
+    for i in range(4):
+        j = i * 4
+        a1 = (block[j] + block[j + 2]) * 4
+        d1 = (block[j + 1] + block[j + 3]) * 4
+        c1 = (block[j + 1] - block[j + 3]) * 4
+        b1 = (block[j] - block[j + 2]) * 4
+        tmp[j] = a1 + d1 + (1 if a1 else 0)
+        tmp[j + 1] = b1 + c1
+        tmp[j + 2] = b1 - c1
+        tmp[j + 3] = a1 - d1
+    out = [0] * 16
+    for i in range(4):
+        a1 = tmp[i] + tmp[8 + i]
+        d1 = tmp[4 + i] + tmp[12 + i]
+        c1 = tmp[4 + i] - tmp[12 + i]
+        b1 = tmp[i] - tmp[8 + i]
+        a2 = a1 + d1
+        b2 = b1 + c1
+        c2 = b1 - c1
+        d2 = a1 - d1
+        out[i] = (a2 + (1 if a2 < 0 else 0) + 3) >> 3
+        out[4 + i] = (b2 + (1 if b2 < 0 else 0) + 3) >> 3
+        out[8 + i] = (c2 + (1 if c2 < 0 else 0) + 3) >> 3
+        out[12 + i] = (d2 + (1 if d2 < 0 else 0) + 3) >> 3
+    return out
+
+
+def _quantize(coeffs, dq):
+    """Round-to-nearest levels, clamped to the token range."""
+    out = [0] * 16
+    for i in range(16):
+        q = dq[1 if i > 0 else 0]
+        v = coeffs[i]
+        lv = (abs(v) + q // 2) // q
+        if lv > 2047:
+            lv = 2047
+        out[i] = -lv if v < 0 else lv
+    return out
+
+
+def _encode_coeffs(be, probs, plane, ctx, first, levels_raster):
+    """Mirror of _decode_coeffs: emit the token stream for one 4x4
+    block of quantized LEVELS (raster order). Returns the eob the
+    decoder will compute (for identical nz-context tracking)."""
+    lv = [levels_raster[ZIGZAG[n]] for n in range(16)]
+    last = -1
+    for n in range(first, 16):
+        if lv[n]:
+            last = n
+    n = first
+    p = _probs4(plane, COEFF_BANDS[n], ctx, probs)
+    if last < first:
+        be.write_bool(p[0], 0)
+        return n
+    after_zero = False
+    while n <= last:
+        if not after_zero:
+            be.write_bool(p[0], 1)
+        v = lv[n]
+        if v == 0:
+            be.write_bool(p[1], 0)
+            n += 1
+            p = _probs4(plane, COEFF_BANDS[n], 0, probs)
+            after_zero = True
+            continue
+        be.write_bool(p[1], 1)
+        after_zero = False
+        av = abs(v)
+        if av == 1:
+            be.write_bool(p[2], 0)
+            nctx = 1
+        else:
+            be.write_bool(p[2], 1)
+            nctx = 2
+            if av <= 4:
+                be.write_bool(p[3], 0)
+                if av == 2:
+                    be.write_bool(p[4], 0)
+                else:
+                    be.write_bool(p[4], 1)
+                    be.write_bool(p[5], av - 3)
+            elif av <= 10:
+                be.write_bool(p[3], 1)
+                be.write_bool(p[6], 0)
+                if av <= 6:
+                    be.write_bool(p[7], 0)
+                    be.write_bool(PCAT[0][0], av - 5)
+                else:
+                    be.write_bool(p[7], 1)
+                    bits = av - 7
+                    be.write_bool(PCAT[1][0], (bits >> 1) & 1)
+                    be.write_bool(PCAT[1][1], bits & 1)
+            else:
+                be.write_bool(p[3], 1)
+                be.write_bool(p[6], 1)
+                if av <= 18:
+                    cat = 2
+                    be.write_bool(p[8], 0)
+                    be.write_bool(p[9], 0)
+                elif av <= 34:
+                    cat = 3
+                    be.write_bool(p[8], 0)
+                    be.write_bool(p[9], 1)
+                elif av <= 66:
+                    cat = 4
+                    be.write_bool(p[8], 1)
+                    be.write_bool(p[10], 0)
+                else:
+                    cat = 5
+                    be.write_bool(p[8], 1)
+                    be.write_bool(p[10], 1)
+                bits = av - CAT_BASE[cat]
+                for k, pb in enumerate(PCAT[cat]):
+                    be.write_bool(
+                        pb, (bits >> (len(PCAT[cat]) - 1 - k)) & 1
+                    )
+        be.write_bool(128, 1 if v < 0 else 0)
+        n += 1
+        if n == 16:
+            return 16
+        p = _probs4(plane, COEFF_BANDS[n], nctx, probs)
+    be.write_bool(p[0], 0)
+    return n
+
+
+def _rgb_to_yuv420(rgb):
+    """Deterministic BT.601 full-range-ish conversion + 2x2 box
+    chroma subsampling (the encoder-side colorspace choice is free;
+    parity is defined on the YUV planes)."""
+    import numpy as np
+
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    u = ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128
+    v = ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128
+    h, w = y.shape
+    he, we = (h + 1) & ~1, (w + 1) & ~1
+    ue = np.zeros((he, we), np.int32)
+    ve = np.zeros((he, we), np.int32)
+    ue[:h, :w], ve[:h, :w] = u, v
+    if we > w:
+        ue[:, w:] = ue[:, w - 1 : w]
+        ve[:, w:] = ve[:, w - 1 : w]
+    if he > h:
+        ue[h:, :] = ue[h - 1 : h, :]
+        ve[h:, :] = ve[h - 1 : h, :]
+    usub = (ue[0::2, 0::2] + ue[0::2, 1::2] + ue[1::2, 0::2]
+            + ue[1::2, 1::2] + 2) >> 2
+    vsub = (ve[0::2, 0::2] + ve[0::2, 1::2] + ve[1::2, 0::2]
+            + ve[1::2, 1::2] + 2) >> 2
+    clip = lambda a: np.clip(a, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(usub), clip(vsub)
+
+
+def encode_vp8(
+    y, u, v, q_index: int = 40, filter_level: int = 0
+) -> bytes:
+    """Encode YUV420 planes as a spec-compliant VP8 keyframe inside
+    a RIFF/WEBP container. Intra 16x16 modes only (per-MB best-SAD
+    of DC/V/H/TM for luma and chroma, always with the Y2 transform),
+    single token partition, default probabilities, no segmentation.
+
+    The encoder maintains its own reconstruction through the
+    DECODER's inverse path (same dequant, iWHT, iDCT, prediction and
+    loop-filter code), so ``decode_vp8(encode_vp8(...))`` equals the
+    returned reconstruction EXACTLY — the closed loop the registered
+    lossy-WebP query is checked with; tests additionally pin libwebp
+    decoding these streams to the same planes."""
+    import numpy as np
+
+    h, w = y.shape
+    mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
+
+    def pad(plane, ph, pw):
+        out = np.zeros((ph, pw), np.uint8)
+        hh, ww = plane.shape
+        out[:hh, :ww] = plane
+        if pw > ww:
+            out[:hh, ww:] = plane[:, ww - 1 : ww]
+        if ph > hh:
+            out[hh:, :] = out[hh - 1 : hh, :]
+        return out
+
+    ysrc = pad(y, mb_h * 16, mb_w * 16)
+    usrc = pad(u, mb_h * 8, mb_w * 8)
+    vsrc = pad(v, mb_h * 8, mb_w * 8)
+    ypl = np.zeros_like(ysrc)
+    upl = np.zeros_like(usrc)
+    vpl = np.zeros_like(vsrc)
+
+    hdr = _FrameHeader()
+    hdr.y_ac_qi = q_index
+    hdr.y_dc_delta = hdr.y2_dc_delta = hdr.y2_ac_delta = 0
+    hdr.uv_dc_delta = hdr.uv_ac_delta = 0
+    y1q, y2q, uvq = _dequant_factors(hdr, q_index)
+
+    mode_bw = BoolEncoder()  # header + modes (first partition)
+    tok_bw = BoolEncoder()  # single token partition
+    probs = COEFFS_PROBA0
+
+    # --- compressed header
+    mode_bw.write_literal(0, 1)  # color space
+    mode_bw.write_literal(0, 1)  # clamping
+    mode_bw.write_bool(128, 0)  # segmentation off
+    mode_bw.write_bool(128, 0)  # filter type: normal
+    mode_bw.write_literal(filter_level, 6)
+    mode_bw.write_literal(0, 3)  # sharpness
+    mode_bw.write_bool(128, 0)  # no lf deltas
+    mode_bw.write_literal(0, 2)  # 1 token partition
+    mode_bw.write_literal(q_index, 7)
+    for _ in range(5):
+        mode_bw.write_bool(128, 0)  # no quant deltas
+    mode_bw.write_bool(128, 0)  # refresh entropy probs
+    for i in range(1056):
+        mode_bw.write_bool(COEFFS_UPDATE_PROBA[i], 0)  # no updates
+    mode_bw.write_bool(128, 0)  # mb_no_skip_coeff off
+
+    above_nz_y = [[0] * 4 for _ in range(mb_w)]
+    above_nz_u = [[0] * 2 for _ in range(mb_w)]
+    above_nz_v = [[0] * 2 for _ in range(mb_w)]
+    above_nz_y2 = [0] * mb_w
+    mb_info = []
+
+    def best_mode(src, pl, x0, y0, size, have_above, have_left):
+        best, bm = None, DC_PRED
+        for mode in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+            _pred16_or_8(mode, pl, x0, y0, size, have_above, have_left)
+            sad = int(
+                np.abs(
+                    pl[y0 : y0 + size, x0 : x0 + size].astype(np.int32)
+                    - src[y0 : y0 + size, x0 : x0 + size].astype(
+                        np.int32
+                    )
+                ).sum()
+            )
+            if best is None or sad < best:
+                best, bm = sad, mode
+        _pred16_or_8(bm, pl, x0, y0, size, have_above, have_left)
+        return bm
+
+    for mb_y in range(mb_h):
+        left_nz_y = [0] * 4
+        left_nz_u = [0] * 2
+        left_nz_v = [0] * 2
+        left_nz_y2 = 0
+        for mb_x in range(mb_w):
+            x0, y0 = mb_x * 16, mb_y * 16
+            cx0, cy0 = mb_x * 8, mb_y * 8
+            ha, hl = mb_y > 0, mb_x > 0
+            ymode = best_mode(ysrc, ypl, x0, y0, 16, ha, hl)
+            uvmode = best_mode(usrc, upl, cx0, cy0, 8, ha, hl)
+            _pred16_or_8(uvmode, vpl, cx0, cy0, 8, ha, hl)
+            # --- mode records
+            mode_bw.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, ymode)
+            mode_bw.write_tree(UV_MODE_TREE, KF_UV_MODE_PROB, uvmode)
+            # --- transform + quantize luma (with Y2)
+            ylevels = []
+            dcs = [0] * 16
+            for sy in range(4):
+                for sx in range(4):
+                    ys, xs = y0 + sy * 4, x0 + sx * 4
+                    res = (
+                        ysrc[ys : ys + 4, xs : xs + 4].astype(np.int32)
+                        - ypl[ys : ys + 4, xs : xs + 4].astype(np.int32)
+                    ).reshape(-1)
+                    co = _fdct4x4([int(t) for t in res])
+                    dcs[sy * 4 + sx] = co[0]
+                    ylevels.append(co)
+            y2co = _fwht4x4(dcs)
+            y2lv = _quantize(y2co, y2q)
+            # encode y2 (plane 1)
+            ctx = above_nz_y2[mb_x] + left_nz_y2
+            eob = _encode_coeffs(tok_bw, probs, 1, ctx, 0, y2lv)
+            nz2 = 1 if eob > 0 else 0
+            above_nz_y2[mb_x] = left_nz_y2 = nz2
+            any_nz = nz2 > 0
+            # decoder-side y2 recon feeds the per-block DC
+            y2deq = [y2lv[i] * y2q[1 if i > 0 else 0] for i in range(16)]
+            dcs_rec = iwht4x4(y2deq)
+            # luma blocks (plane 0, first=1)
+            qlv_blocks = []
+            for sy in range(4):
+                lz = left_nz_y[sy]
+                for sx in range(4):
+                    co = ylevels[sy * 4 + sx]
+                    lv = _quantize(co, y1q)
+                    lv[0] = 0  # DC lives in Y2
+                    qlv_blocks.append(lv)
+                    ctx = lz + above_nz_y[mb_x][sx]
+                    eob = _encode_coeffs(
+                        tok_bw, probs, 0, ctx, 1, lv
+                    )
+                    lz = 1 if eob > 1 else 0
+                    above_nz_y[mb_x][sx] = lz
+                    any_nz = any_nz or lz
+                left_nz_y[sy] = lz
+            # chroma (plane 2)
+            uv_levels = []
+            for src, pl, lnz, anz in (
+                (usrc, upl, left_nz_u, above_nz_u),
+                (vsrc, vpl, left_nz_v, above_nz_v),
+            ):
+                for sy in range(2):
+                    lz = lnz[sy]
+                    for sx in range(2):
+                        ys, xs = cy0 + sy * 4, cx0 + sx * 4
+                        res = (
+                            src[ys : ys + 4, xs : xs + 4].astype(
+                                np.int32
+                            )
+                            - pl[ys : ys + 4, xs : xs + 4].astype(
+                                np.int32
+                            )
+                        ).reshape(-1)
+                        lv = _quantize(
+                            _fdct4x4([int(t) for t in res]), uvq
+                        )
+                        uv_levels.append(lv)
+                        ctx = lz + anz[mb_x][sx]
+                        eob = _encode_coeffs(
+                            tok_bw, probs, 2, ctx, 0, lv
+                        )
+                        lz = 1 if eob > 0 else 0
+                        anz[mb_x][sx] = lz
+                        any_nz = any_nz or lz
+                    lnz[sy] = lz
+            # --- reconstruction through the decoder's inverse path
+            for sy in range(4):
+                for sx in range(4):
+                    lv = qlv_blocks[sy * 4 + sx]
+                    deq = [
+                        lv[i] * y1q[1 if i > 0 else 0] for i in range(16)
+                    ]
+                    deq[0] = dcs_rec[sy * 4 + sx]
+                    if any(deq):
+                        res = np.array(
+                            idct4x4(deq), np.int32
+                        ).reshape(4, 4)
+                        ys, xs = y0 + sy * 4, x0 + sx * 4
+                        reg = ypl[ys : ys + 4, xs : xs + 4].astype(
+                            np.int32
+                        )
+                        ypl[ys : ys + 4, xs : xs + 4] = np.clip(
+                            reg + res, 0, 255
+                        ).astype(np.uint8)
+            k = 0
+            for pl in (upl, vpl):
+                for sy in range(2):
+                    for sx in range(2):
+                        lv = uv_levels[k]
+                        k += 1
+                        deq = [
+                            lv[i] * uvq[1 if i > 0 else 0]
+                            for i in range(16)
+                        ]
+                        if any(deq):
+                            res = np.array(
+                                idct4x4(deq), np.int32
+                            ).reshape(4, 4)
+                            ys, xs = cy0 + sy * 4, cx0 + sx * 4
+                            reg = pl[ys : ys + 4, xs : xs + 4].astype(
+                                np.int32
+                            )
+                            pl[ys : ys + 4, xs : xs + 4] = np.clip(
+                                reg + res, 0, 255
+                            ).astype(np.uint8)
+            mb_info.append((filter_level, bool(any_nz)))
+
+    if filter_level > 0:
+        _loop_filter_frame(
+            ypl, upl, vpl, mb_info, mb_w, mb_h,
+            simple=False, sharpness=0, key_frame=True,
+        )
+
+    part1 = mode_bw.finish()
+    part2 = tok_bw.finish()
+    tag = (len(part1) << 5) | (1 << 4)  # show_frame, version 0, key
+    payload = bytes(
+        [tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF]
+    ) + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + part1 + part2
+    if len(payload) & 1:
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload + b"\x00"
+    else:
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    out = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    recon = (
+        ypl[:h, :w].copy(),
+        upl[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
+        vpl[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
+    )
+    return out, recon

@@ -640,10 +640,13 @@ def _decode_vp8l(data: bytes):
 
 
 def decode_webp(content: bytes):
-    """RIFF walk: direct VP8L files and VP8X-extended containers
-    holding a VP8L chunk decode; lossy VP8 raises the honest
-    NotImplementedError (that codec needs a full VP8 intra
-    decoder)."""
+    """RIFF walk: VP8L (lossless) chunks decode through this
+    module's VP8L decoder; lossy ``VP8 `` chunks through the full
+    keyframe decoder in :mod:`.vp8` (boolean coder, intra
+    prediction, iDCT, in-loop deblocking — bit-exact vs libwebp on
+    its YUV output), converted to RGB with the deterministic BT.601
+    upsample. VP8X-extended containers holding either chunk walk to
+    it."""
     import struct
 
     if (
@@ -662,9 +665,12 @@ def decode_webp(content: bytes):
         if cid == b"VP8L":
             return _decode_vp8l(body)
         if cid == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 WebP needs a VP8 intra-frame decoder"
+            from big_data_processing_spark.functions.vp8 import (
+                decode_vp8,
+                yuv420_to_rgb,
             )
+
+            return yuv420_to_rgb(*decode_vp8(body))
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L image chunk in WEBP container")
 
