@@ -117,15 +117,15 @@ def test_decode_image_real_rejects_compressed():
         decode_image_real,
     )
 
-    # WebP magic now routes to the REAL VP8L decoder: a container
-    # with no image chunk is malformed-stream ValueError; a LOSSY
-    # VP8 chunk stays the honest NotImplementedError (that is a
-    # different codec); junk JPEG bodies stay ValueError
+    # WebP magic routes to the REAL decoders (VP8L and, as of round
+    # 11, lossy VP8 too — functions/vp8.py): a container with no
+    # image chunk is malformed-stream ValueError, and so is a
+    # truncated lossy VP8 payload; junk JPEG bodies stay ValueError
     webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
     with _pytest.raises(ValueError):
         decode_image_real(webp_magic)
     lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_image_real(lossy)
     with _pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)

@@ -146,7 +146,9 @@ def test_vp8x_container_and_errors():
         decode_webp(b"nonsense")
     with pytest.raises(ValueError):  # container with no image chunk
         decode_webp(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)
-    with pytest.raises(NotImplementedError):  # lossy VP8
+    with pytest.raises(ValueError):  # truncated lossy VP8 payload
+        # (lossy VP8 now has a REAL decoder — functions/vp8.py — so a
+        # malformed chunk is a ValueError, not a codec gap)
         decode_webp(
             b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
         )
