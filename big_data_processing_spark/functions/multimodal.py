@@ -2392,6 +2392,27 @@ def decode_avi(content: bytes):
             scan_list(bstart, bsize)
     if width is None or not frames_raw:
         raise ValueError("missing video stream header or frames")
+    if compression == struct.unpack("<I", b"MJPG")[0]:
+        # Motion-JPEG: every frame chunk is an independent JFIF
+        # stream — decode through the repo's own JPEG decoder
+        # (baseline + progressive, functions/multimodal.decode_jpeg).
+        # The most common compressed-AVI flavor, now REAL; remaining
+        # NotImplementedError covers inter-frame codecs (H264/…).
+        h = abs(int(height))
+        w = int(width)
+        out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+        for i, fb in enumerate(frames_raw):
+            img = decode_jpeg(bytes(fb))
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[:2] != (h, w):
+                raise ValueError(
+                    f"frame {i}: JPEG dims {img.shape[:2]} != "
+                    f"header ({h}, {w})"
+                )
+            out[i] = img
+        fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+        return fps, out
     if compression != 0 or bpp != 24:
         raise NotImplementedError(
             f"compressed AVI stream (biCompression={compression}, "
@@ -2469,6 +2490,72 @@ def make_avi(
             "<IiiHHIIiiII",
             40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
         ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_avi_mjpeg(
+    w: int,
+    h: int,
+    n_frames: int,
+    seed: int,
+    fps: int = 10,
+    quality: int = 90,
+) -> bytes:
+    """Deterministic Motion-JPEG AVI (the compressed sibling of
+    :func:`make_avi`): each frame is a REAL baseline JFIF stream
+    from :func:`make_jpeg` over the same per-frame raster
+    arithmetic, stored in '00dc' chunks with biCompression='MJPG'.
+    Deterministic end-to-end (the JPEG encoder is), so registered
+    oracles can pin exact decoded statistics."""
+    import struct
+
+    import numpy as np
+
+    y, x, c = np.mgrid[0:h, 0:w, 0:3]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    frames = []
+    max_size = 0
+    for f in range(n_frames):
+        rgb = ((seed + 3 * x + 7 * y + 11 * c + 13 * f) % 256).astype(
+            np.uint8
+        )
+        jfif = make_jpeg(w, h, seed, raster=rgb, quality=quality)
+        max_size = max(max_size, len(jfif))
+        frames.append(chunk(b"00dc", jfif))
+
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            1_000_000 // fps, 0, 0, 0, n_frames, 0, 1,
+            max_size, w, h, 0, 0, 0, 0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG" + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+            max_size, 0, 0, 0
+        ),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<Iii", 40, w, h)
+        + struct.pack("<HH", 1, 24)
+        + b"MJPG"
+        + struct.pack("<IiiII", max_size, 2835, 2835, 0, 0),
     )
     hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
     movi = lst(b"movi", b"".join(frames))

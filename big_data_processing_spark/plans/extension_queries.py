@@ -5570,3 +5570,112 @@ def q_image_features_webp_lossy(
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI decode, value-checked end-to-end
+# ---------------------------------------------------------------------------
+
+# (w, h, n_frames, quality) per doc_id mod 4
+_MJPEG_VARIANTS = ((16, 16, 3, 90), (24, 16, 4, 75), (32, 24, 2, 95),
+                   (20, 12, 3, 60))
+
+
+def _mjpeg_fixture(i: int) -> bytes:
+    from big_data_processing_spark.functions.multimodal import (
+        make_avi_mjpeg,
+    )
+
+    w, h, nf, q = _MJPEG_VARIANTS[i % len(_MJPEG_VARIANTS)]
+    return make_avi_mjpeg(w, h, nf, seed=i, quality=q)
+
+
+def _mjpeg_oracle_values() -> str:
+    """Exact expected (doc_id, frame, n_frames, mean_pixel, checksum)
+    rows for every SECOND frame, computed driver-side at
+    registration — the MJPEG pipeline (JPEG encoder included) is
+    deterministic, so these are the values the distributed decode
+    must reproduce bit-for-bit. Doubles written in e-notation
+    (DuckDB decimal literals lose the last ulp past 2^53)."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.multimodal import decode_avi
+
+    rows = []
+    for i in range(8):
+        _fps, frames = decode_avi(_mjpeg_fixture(i))
+        for f in range(0, frames.shape[0], 2):
+            a = frames[f].astype(np.int64)
+            rows.append(
+                f"({i}, {f}, {frames.shape[0]}, "
+                f"{float(a.mean())!r}e0, {int(a.sum())})"
+            )
+    return ", ".join(rows)
+
+
+@register(
+    "video_frame_features_mjpeg",
+    f"""
+    WITH expected(doc_id, frame, n_frames, mean_pixel, checksum) AS (
+      VALUES {{mjpeg_values}}
+    )
+    SELECT d.doc_id AS media_id, CAST(e.frame AS INT) AS frame,
+           CAST(e.n_frames AS INT) AS n_frames,
+           CAST(e.mean_pixel AS DOUBLE) AS mean_pixel,
+           CAST(e.checksum AS BIGINT) AS checksum,
+           TRUE AS decode_ok
+    FROM documents d JOIN expected e ON d.doc_id = e.doc_id
+    WHERE d.doc_id < 8
+    ORDER BY media_id, frame
+    """.replace("{mjpeg_values}", _mjpeg_oracle_values()),
+    doc="COMPRESSED video decode, value-checked end-to-end: "
+    "Motion-JPEG AVI — the most common compressed-AVI flavor, "
+    "previously inside the NotImplementedError contract — now "
+    "decodes for real: each '00dc' frame chunk is an independent "
+    "JFIF stream routed through the repo's own baseline+progressive "
+    "JPEG decoder inside the AVI chunk walker "
+    "(functions/multimodal.py decode_avi MJPG branch), then every "
+    "second frame samples to scalar features "
+    "(sample_video_frames_real — media bytes never shuffle, only "
+    "(id, frame, scalars) leave the executor). Fixtures are real "
+    "MJPEG files from make_avi_mjpeg (per-frame make_jpeg streams); "
+    "the deterministic encoder lets the oracle pin exact decoded "
+    "means and checksums computed at registration. "
+    "NotImplementedError now covers only inter-frame codecs "
+    "(H264/...)",
+)
+def q_video_frame_features_mjpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        sample_video_frames_real,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 8),
+        "doc_id",
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda i: bytearray(_mjpeg_fixture(int(i)))
+                    ),
+                }
+            )
+
+    media = ids.mapInPandas(synth, schema="media_id long, content binary")
+    return (
+        sample_video_frames_real(media, every_n=2)
+        .orderBy("media_id", "frame")
+    )

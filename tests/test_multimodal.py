@@ -1124,3 +1124,40 @@ def test_audio_fingerprint_contract():
     assert audio_fingerprint64(stereo, r) == audio_fingerprint64(s, r)
     with _pytest.raises(ValueError):
         audio_fingerprint64(np.zeros(10), 8000)
+
+
+def test_mjpeg_avi_closed_loop():
+    """Motion-JPEG AVI: decode_avi's MJPG branch must return exactly
+    what standalone decode_jpeg yields per frame chunk, across
+    qualities and dims — the closed loop the registered
+    video_frame_features_mjpeg oracle is pinned on. Other compressed
+    fourccs keep the honest NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_avi,
+        decode_jpeg,
+        make_avi_mjpeg,
+        make_jpeg,
+    )
+
+    for (w, h, nf, seed, q) in ((16, 16, 3, 7, 90), (24, 16, 4, 11, 60)):
+        data = make_avi_mjpeg(w, h, nf, seed, quality=q)
+        fps, frames = decode_avi(data)
+        assert frames.shape == (nf, h, w, 3) and fps == 10.0
+        y, x, c = np.mgrid[0:h, 0:w, 0:3]
+        for f in range(nf):
+            rgb = ((seed + 3 * x + 7 * y + 11 * c + 13 * f) % 256).astype(
+                np.uint8
+            )
+            ref = decode_jpeg(make_jpeg(w, h, seed, raster=rgb, quality=q))
+            assert (frames[f] == ref).all()
+
+    # an unknown compressed fourcc still raises honestly
+    data = make_avi_mjpeg(16, 16, 1, 1)
+    bad = data.replace(b"MJPG", b"H264")
+    with _pytest.raises(NotImplementedError):
+        decode_avi(bad)
