@@ -262,7 +262,15 @@ def bloom_scan_filter(
     Bitmap sizing is derived, not fixed: the next multiple of 64
     ≥ 14·n (floor 1024), so a 100-key dim costs a 1 Kib literal and
     a 60K-key dim the full 112 KiB — the bounded-collect contract
-    scales with what the filter actually holds."""
+    scales with what the filter actually holds.
+
+    Measurement cost is itself gated: a plain count() (scan +
+    partial counts, no shuffle) runs first, and the countDistinct —
+    a keyed shuffle — only when the row count already fits under
+    ``max_dim_keys``; a 100 TB unselective dim is declined after
+    the cheap pass alone."""
+    if dim.count() > max_dim_keys:
+        return fact, False
     n = dim.select(dim_key).distinct().count()
     if n == 0 or n > max_dim_keys:
         return fact, False
