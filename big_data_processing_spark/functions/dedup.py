@@ -590,6 +590,7 @@ def _prefix_filter_candidates(
     block_cols: list[str],
     id_col: str,
     threshold: float,
+    gram_df: DataFrame | None = None,
 ) -> DataFrame:
     """The AllPairs candidate generator behind
     :func:`jaccard_prefix_filter_pairs`, pre-verification: distinct
@@ -605,10 +606,13 @@ def _prefix_filter_candidates(
     )
     # canonical per-block total order: (document frequency asc, gram
     # asc). Any one shared order is correct; rarity-first makes the
-    # prefix the least-collisional slice of each set.
-    gram_df = exploded.groupBy(*block_cols, "g").agg(
-        F.count(F.lit(1)).alias("__df")
-    )
+    # prefix the least-collisional slice of each set. A caller that
+    # already aggregated the gram table (the adaptive dispatch)
+    # passes it in so the agg runs once per query, not per stage.
+    if gram_df is None:
+        gram_df = exploded.groupBy(*block_cols, "g").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
     req_overlap = F.ceil(
         F.lit(threshold) * F.size("__sorted") - F.lit(1e-6)
     )
@@ -678,6 +682,7 @@ def choose_similarity_plan(
     threshold: float,
     max_df: int,
     cost_ratio: float = 1.0,
+    gram_df: DataFrame | None = None,
 ) -> dict:
     """Estimate, from MEASURED gram-df statistics, whether the
     prefix-filter or the df-capped inverted index is the cheaper
@@ -733,13 +738,14 @@ def choose_similarity_plan(
     prefix_slots = int(
         base.agg(F.sum(slots_expr).alias("s")).collect()[0]["s"] or 0
     )
-    gram_df = (
-        base.select(
-            *block_cols, F.explode("grams").alias("g")
+    if gram_df is None:
+        gram_df = (
+            base.select(
+                *block_cols, F.explode("grams").alias("g")
+            )
+            .groupBy(*block_cols, "g")
+            .agg(F.count(F.lit(1)).alias("__df"))
         )
-        .groupBy(*block_cols, "g")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
 
     def pair_work(c):
         # c·(c−1) is even, so the shift is exact integer division —
@@ -838,18 +844,28 @@ def similarity_join(
         )
         .localCheckpoint(eager=False)
     )
+    # one gram-df aggregate serves planning AND whichever generator
+    # wins — vocab-sized, so the checkpoint is cheap to hold
+    exploded = base.select(
+        *block_cols, F.col(id_col), F.explode("grams").alias("g")
+    )
+    gram_df = (
+        exploded.groupBy(*block_cols, "g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .localCheckpoint(eager=False)
+    )
     decision = choose_similarity_plan(
-        base, block_cols, id_col, threshold, max_df, cost_ratio
+        base, block_cols, id_col, threshold, max_df, cost_ratio,
+        gram_df=gram_df,
     )
     if decision["plan"] == "prefix":
         cand = _prefix_filter_candidates(
-            base, block_cols, id_col, threshold
+            base, block_cols, id_col, threshold, gram_df=gram_df
         )
     else:
-        exploded = base.select(
-            *block_cols, F.col(id_col), F.explode("grams").alias("g")
+        cand = _capped_candidates(
+            exploded, block_cols, id_col, max_df, gram_df=gram_df
         )
-        cand = _capped_candidates(exploded, block_cols, id_col, max_df)
     return _verify_jaccard_candidates(base, cand, id_col, threshold)
 
 
@@ -858,17 +874,19 @@ def _capped_candidates(
     block_cols: list[str],
     id_col: str,
     max_df: int,
+    gram_df: DataFrame | None = None,
 ) -> DataFrame:
     """df-capped inverted-index candidate pairs over an exploded
     (*block_cols, id, g) gram table: pairs are generated only from
     grams with block-local document frequency ≤ max_df, bounding
     candidate work at max_df × corpus grams (linear). Shared by
     :func:`ngram_jaccard_pairs` and :func:`similarity_join`."""
-    rare_grams = (
-        exploded.groupBy(*block_cols, "g")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select(*block_cols, "g")
+    if gram_df is None:
+        gram_df = exploded.groupBy(*block_cols, "g").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+    rare_grams = gram_df.filter(F.col("__df") <= max_df).select(
+        *block_cols, "g"
     )
     rare = exploded.join(rare_grams, on=[*block_cols, "g"])
     return (
