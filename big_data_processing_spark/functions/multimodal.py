@@ -684,10 +684,11 @@ def decode_image_real(content: bytes):
     8/16-bit PNG (stdlib zlib + numpy unfilter, Adam7 included),
     JPEG — baseline-sequential AND progressive multi-scan
     (:func:`decode_jpeg` — pure stdlib+numpy Huffman + IDCT) — and
-    WebP-lossless (VP8L, :func:`webp.decode_webp`) all decode
-    without any codec library; lossy VP8 WebP raises until one is
-    present. Returns an (h, w[, channels]) uint8 array (uint16 for
-    16-bit PNG)."""
+    WebP (lossless VP8L and lossy VP8, :func:`webp.decode_webp`) and
+    GIF87a/89a (:func:`gif.decode_gif` — LZW, interlace, palettes,
+    first composited frame of animations) all decode without any
+    codec library. Returns an (h, w[, channels]) uint8 array (uint16
+    for 16-bit PNG)."""
     if content[:2] in (b"P5", b"P6"):
         return decode_netpbm(content)
     if content[:2] == b"BM":
@@ -700,6 +701,10 @@ def decode_image_real(content: bytes):
         from big_data_processing_spark.functions.webp import decode_webp
 
         return decode_webp(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from big_data_processing_spark.functions.gif import decode_gif
+
+        return decode_gif(content)
     raise NotImplementedError(
         "unrecognized image container; codec libraries absent "
         "(install PIL/opencv for exotic formats)"
@@ -2575,9 +2580,25 @@ def sample_video_frames_real(
     per-row failure isolation. Retires the explode-shaped stub
     (:func:`sample_video_frames`): the Spark plumbing is the same
     (mapInPandas, media bytes never shuffle, only (id, frame,
-    scalars) leave the executor), but the decode is now real."""
+    scalars) leave the executor), but the decode is now real.
+    Container-dispatched per row: RIFF/AVI via :func:`decode_avi`
+    (raw + MJPEG fourccs) and animated GIF via
+    :func:`gif.decode_gif_frames` (composited logical-screen
+    frames) — the two animation containers a crawl corpus actually
+    carries that need no codec library."""
     import numpy as np
     import pandas as pd  # noqa: F401
+
+    def decode_frames(blob: bytes):
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            from big_data_processing_spark.functions.gif import (
+                decode_gif_frames,
+            )
+
+            _delays, frames = decode_gif_frames(blob)
+            return frames
+        _fps, frames = decode_avi(blob)
+        return frames
 
     def kernel(batches):
         import pandas as pd
@@ -2586,7 +2607,7 @@ def sample_video_frames_real(
             ids, fidx, nf, means, sums, oks = [], [], [], [], [], []
             for mid, blob in zip(pdf["media_id"], pdf[content_col]):
                 try:
-                    _fps, frames = decode_avi(bytes(blob))
+                    frames = decode_frames(bytes(blob))
                     for f in range(0, frames.shape[0], every_n):
                         a = frames[f].astype(np.int64)
                         ids.append(mid)

@@ -5679,3 +5679,280 @@ def q_video_frame_features_mjpeg(
         sample_video_frames_real(media, every_n=2)
         .orderBy("media_id", "frame")
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (static + animated) — the fourth and last of the image
+# containers that dominate crawl corpora (JPEG/PNG/WebP/GIF), and the
+# only one with cheap animation. Codec: functions/gif.py (pure
+# stdlib+numpy LZW both directions). Reference parity note: the
+# reference has no media handling (SURVEY.md §2.8) — this is
+# training-data-pipeline extension surface.
+# ---------------------------------------------------------------------------
+
+
+def _gif_raster(w: int, h: int, seed: int, ncolors: int):
+    """Closed-form paletted RGB raster (<= ncolors distinct colors)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    idx = (seed + 3 * x + 7 * y) % ncolors
+    i = np.arange(ncolors)
+    pal = np.stack(
+        [
+            (seed + 5 * i) % 256,
+            (seed + 11 * i) % 256,
+            (seed + 23 * i) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return pal[idx]
+
+
+def _gif_fixture(i: int) -> bytes:
+    """64 deterministic GIF streams cycling through the container's
+    feature matrix by i mod 8: global palettes of 4/16/64/250
+    colors, interlacing, GIF87a, per-frame LOCAL palettes, a
+    transparent overlay frame, and a 3-frame animation (whose FIRST
+    composited frame is what the static decode reports)."""
+    from big_data_processing_spark.functions.gif import make_gif
+
+    w, h = 16 + (i % 5) * 3, 12 + (i % 3) * 4
+    v = i % 8
+    if v == 0:
+        return make_gif(_gif_raster(w, h, i, 16))
+    if v == 1:
+        return make_gif(_gif_raster(w, h, i, 64), interlace=True)
+    if v == 2:
+        return make_gif(_gif_raster(w, h, i, 4))
+    if v == 3:
+        return make_gif(_gif_raster(w, h, i, 250))
+    if v == 4:
+        return make_gif(_gif_raster(w, h, i, 16), version=b"GIF87a")
+    if v == 5:
+        return make_gif(
+            [_gif_raster(w, h, i, 8), _gif_raster(w, h, i + 31, 12)],
+            local_palettes=True,
+        )
+    if v == 6:
+        base = _gif_raster(w, h, i, 8)
+        overlay = base.copy()
+        overlay[:, : w // 2] = (1, 2, 3)  # transparent half
+        return make_gif(
+            [base, overlay], transparent_color=(1, 2, 3)
+        )
+    return make_gif(
+        [
+            _gif_raster(w, h, i, 8),
+            _gif_raster(w - 4, h - 4, i + 7, 8),
+            _gif_raster(w - 8, h - 6, i + 13, 8),
+        ],
+        offsets=[(0, 0), (2, 2), (4, 3)],
+        canvas=(w, h),
+        disposal=[0, 2, 1],
+        delays_cs=[5, 5, 5],
+    )
+
+
+def _gif_oracle_values() -> str:
+    """Exact expected (doc_id, n_bytes, width, height, mean_pixel)
+    rows, regenerated at registration from the same pure codec the
+    executors run — GIF is lossless, so the mean pins exact decode
+    (the :func:`_webp_oracle_values` recipe)."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.gif import decode_gif
+
+    rows = []
+    for i in range(64):
+        content = _gif_fixture(i)
+        img = decode_gif(content)
+        h, w = img.shape[:2]
+        mean = float(np.asarray(img, dtype=np.int64).sum()) / img.size
+        rows.append(
+            f"({i}, {len(content)}, {w}, {h}, "
+            f"CAST('{mean!r}' AS DOUBLE))"
+        )
+    return ", ".join(rows)
+
+
+@register(
+    "image_features_gif",
+    f"""
+    WITH expected(doc_id, n_bytes, width, height, mean_pixel) AS (
+      VALUES {{gif_values}}
+    )
+    SELECT d.doc_id AS media_id, CAST(d.doc_id % 8 AS BIGINT) AS fmt,
+           e.n_bytes, e.width, e.height, e.mean_pixel,
+           TRUE AS decode_ok
+    FROM documents d JOIN expected e ON d.doc_id = e.doc_id
+    WHERE d.doc_id < 64
+    ORDER BY media_id
+    """.replace("{gif_values}", _gif_oracle_values()),
+    doc="GIF decode, value-checked end-to-end: per doc a REAL "
+    "GIF87a/89a stream is encoded executor-side by doc_id mod 8 — "
+    "4/16/64/250-color global palettes, 4-pass interlacing, "
+    "per-frame local palettes, a transparent overlay, a 3-frame "
+    "animation with disposal restore-to-background — and decoded by "
+    "the pure stdlib+numpy codec (functions/gif.py: variable-width "
+    "LSB-first LZW with clear/EOI/KwKwK/deferred-clear, "
+    "de-interlacing, full animation compositing with disposal "
+    "methods 0-3 and transparency). Lossless: the oracle "
+    "regenerates exact byte counts and exact mean-pixel doubles at "
+    "registration; tests/test_gif.py additionally pins the LZW "
+    "bitstream against hand-computed code vectors and decodes a "
+    "hand-assembled spec-layout stream. Media bytes never shuffle — "
+    "only (id, scalar stats) leave the executor",
+)
+def q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        decode_media_stats,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64),
+        "doc_id",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda i: _gif_fixture(int(i))
+                    ),
+                }
+            )
+
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    return (
+        decode_media_stats(media)
+        .select(
+            "media_id",
+            (F.col("media_id") % 8).alias("fmt"),
+            "n_bytes",
+            "width",
+            "height",
+            "mean_pixel",
+            "decode_ok",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _gif_anim_fixture(i: int) -> bytes:
+    """8 deterministic ANIMATED GIFs: 4 frames over a logical canvas
+    with per-fixture disposal method (i mod 4), transparency for the
+    upper half (i >= 4), NETSCAPE loop, per-frame delays."""
+    from big_data_processing_spark.functions.gif import make_gif
+
+    w, h = 20 + i, 14 + (i % 5)
+    base = _gif_raster(w, h, i, 8)
+    patches = [
+        _gif_raster(6, 5, 30 + i + k, 8) for k in range(3)
+    ]
+    trans = None
+    if i >= 4:
+        trans = (1, 2, 3)
+        for p in patches:
+            p[:2, :] = trans  # top rows keep the canvas
+    return make_gif(
+        [base] + patches,
+        offsets=[(0, 0), (2, 3), (9, 6), (13, 1)],
+        canvas=(w, h),
+        disposal=[0] + [i % 4] * 3,
+        delays_cs=[4] * 4,
+        transparent_color=trans,
+        loop=0,
+    )
+
+
+def _gif_anim_oracle_values() -> str:
+    """Exact expected (doc_id, frame, n_frames, mean_pixel, checksum)
+    rows for every SECOND composited frame (the
+    :func:`_mjpeg_oracle_values` recipe — same sampler contract)."""
+    import numpy as np
+
+    from big_data_processing_spark.functions.gif import (
+        decode_gif_frames,
+    )
+
+    rows = []
+    for i in range(8):
+        _delays, frames = decode_gif_frames(_gif_anim_fixture(i))
+        for f in range(0, frames.shape[0], 2):
+            a = frames[f].astype(np.int64)
+            rows.append(
+                f"({i}, {f}, {frames.shape[0]}, "
+                f"{float(a.mean())!r}e0, {int(a.sum())})"
+            )
+    return ", ".join(rows)
+
+
+@register(
+    "gif_frame_features",
+    f"""
+    WITH expected(doc_id, frame, n_frames, mean_pixel, checksum) AS (
+      VALUES {{gif_anim_values}}
+    )
+    SELECT d.doc_id AS media_id, CAST(e.frame AS INT) AS frame,
+           CAST(e.n_frames AS INT) AS n_frames,
+           CAST(e.mean_pixel AS DOUBLE) AS mean_pixel,
+           CAST(e.checksum AS BIGINT) AS checksum,
+           TRUE AS decode_ok
+    FROM documents d JOIN expected e ON d.doc_id = e.doc_id
+    WHERE d.doc_id < 8
+    ORDER BY media_id, frame
+    """.replace("{gif_anim_values}", _gif_anim_oracle_values()),
+    doc="ANIMATED-GIF frame sampling, value-checked end-to-end: the "
+    "same sample_video_frames_real sampler the AVI/MJPEG rows use, "
+    "now container-dispatched per row — GIF frames are the "
+    "COMPOSITED logical screen (placement rects, transparency "
+    "holes preserving the canvas, disposal none/keep/"
+    "restore-to-background/restore-to-previous between frames), so "
+    "the oracle pins the full compositing pipeline, not just LZW. "
+    "Fixtures cycle every disposal method and a transparent band; "
+    "media bytes never shuffle, only (id, frame, scalars) leave "
+    "the executor",
+)
+def q_gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_processing_spark.functions.multimodal import (
+        sample_video_frames_real,
+    )
+    from big_data_processing_spark.partitioning import spread
+
+    ids = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 8),
+        "doc_id",
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda i: bytearray(_gif_anim_fixture(int(i)))
+                    ),
+                }
+            )
+
+    media = ids.mapInPandas(synth, schema="media_id long, content binary")
+    return (
+        sample_video_frames_real(media, every_n=2)
+        .orderBy("media_id", "frame")
+    )

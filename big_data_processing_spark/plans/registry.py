@@ -62,6 +62,7 @@ def _load_all() -> None:
         hygiene_queries,
         advanced_queries,
         analytic_queries,
+        tpch_queries,
     )
 
 

@@ -602,12 +602,20 @@ def test_avi_roundtrip_and_chunk_walker():
         decode_avi(avi[: len(avi) // 2])
     with _pytest.raises(ValueError):
         decode_avi(b"RIFFxxxxWAVE")
-    # compressed stream: flip biCompression in strf to MJPG
+    # MJPG is a REAL decode path since round 11: flipping the fourcc
+    # over raw (non-JFIF) frame chunks is now a malformed-stream
+    # ValueError from the per-frame JPEG decode, not an absent-codec
+    # NotImplementedError
     i = avi.find(b"strf")
     bad = bytearray(avi)
     struct.pack_into("<I", bad, i + 8 + 16, 0x47504A4D)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_avi(bytes(bad))
+    # inter-frame codecs stay an honest NotImplementedError
+    bad_h264 = bytearray(avi)
+    struct.pack_into("<I", bad_h264, i + 8 + 16, 0x34363248)  # 'H264'
+    with _pytest.raises(NotImplementedError):
+        decode_avi(bytes(bad_h264))
 
 
 def test_avi_audio_stream_first_and_rec_lists():

@@ -435,3 +435,41 @@ def test_promo_share_broadcasts_part_and_prunes_lineitem(spark):
     for l in li_schemas:
         assert "l_extendedprice" in l and "l_shipdate" in l
         assert "l_quantity" not in l and "l_returnflag" not in l
+
+
+def test_tpch_q7_broadcasts_all_dims_single_agg_exchange(spark):
+    """Q7's four dimension joins must all broadcast (nation twice,
+    supplier, customer); the orders join and the final 6-group agg
+    are the only legitimate exchanges, and the shipdate range must
+    reach the fact scan."""
+    plan = _plan(SPECS["volume_shipping_q7"].fn(spark, SF0001))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), plan
+
+
+def test_tpch_q18_having_uses_take_ordered(spark):
+    """Q18: the top-100 must plan as TakeOrderedAndProject (no
+    global sort), and the customer dimension must broadcast."""
+    plan = _plan(SPECS["large_volume_customers_q18"].fn(spark, SF0001))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22: the NOT EXISTS plans as a broadcast/shuffled anti join
+    and the scalar threshold attaches without a sort."""
+    plan = _plan(SPECS["inactive_wealth_q22"].fn(spark, SF0001))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gif_queries_keep_media_bytes_off_the_shuffle(spark):
+    """The GIF rows synthesize + decode media inside one mapInPandas
+    chain: no exchange may carry the binary content column."""
+    for name in ("image_features_gif", "gif_frame_features"):
+        plan = _plan(SPECS[name].fn(spark, SF0001))
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "content" not in line, (name, line)
