@@ -232,7 +232,13 @@ def minhash_near_duplicates(
     )
     if persist:
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = _spread(cand, "id_a", "id_b").join(
+    # keyless spread: the keyed form is planner-eliminated against
+    # the dropDuplicates exchange and the surviving exchange is then
+    # AQE-coalesced by BYTES — wrong width for the CPU-dense
+    # array-jaccard verification (see partitioning.spread_even)
+    from big_data_processing_spark.partitioning import spread_even
+
+    pairs = spread_even(cand).join(
         shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
         on="id_a",
     ).join(
@@ -380,6 +386,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     allow_quadratic: bool = False,
+    pin_result: bool = True,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity for all pairs sharing a
     blocking key (e.g. language + length bucket). Returns
@@ -453,7 +460,9 @@ def ngram_jaccard_pairs(
         cand = _capped_candidates(exploded, block_cols, id_col, max_df)
         # exact verification on the full gram arrays — only the
         # (small) candidate set pays the per-pair array shuffle
-        return _verify_jaccard_candidates(base, cand, id_col, threshold)
+        return _verify_jaccard_candidates(
+            base, cand, id_col, threshold, pin_result=pin_result
+        )
     inter_counts = (
         exploded.select(*block_cols, F.col(id_col).alias("id_a"), "g")
         .join(
@@ -490,10 +499,35 @@ def _verify_jaccard_candidates(
     cand: DataFrame,
     id_col: str,
     threshold: float,
+    pin_result: bool = True,
 ) -> DataFrame:
     """Exact Jaccard verification of a candidate pair set against the
     full (id, grams) arrays in ``base``. Only the candidate set pays
-    the per-pair array shuffle; every returned value is exact."""
+    the per-pair array shuffle; every returned value is exact.
+
+    Two measured plan hazards (r11 optimization, sf0.1 stage
+    metrics):
+
+    - the candidate frame enters this CPU-dense join tiny in BYTES
+      (~20 B/row), so a keyed spread is planner-eliminated and the
+      surviving distinct exchange AQE-coalesces to a handful of
+      tasks — 2/3 of the query's CPU on 4 of 32 cores. The keyless
+      :func:`spread_even` exchange cannot be eliminated or coalesced.
+    - callers sort the verified pairs (`orderBy` in the registered
+      queries): range partitioning SAMPLES its child, re-executing
+      this whole join+intersect pipeline a second time (measured as
+      two ~33 s-executor-time stages for one query). The lazy
+      localCheckpoint pins the (small) verified result so the range
+      sampler scans cached pair rows instead of recomputing the
+      candidate pipeline. Together: ngram_jaccard_prefix full pass
+      29.0 s -> 5.7 s at sf0.1, identical output.
+
+    ``pin_result=False`` skips the tail checkpoint for callers that
+    immediately re-materialize the pairs themselves (the cluster
+    builder eagerly checkpoints its symmetrized edge list) — a
+    second pin there is pure overhead."""
+    from big_data_processing_spark.partitioning import spread_even
+
     arrs_a = base.select(
         F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")
     )
@@ -501,7 +535,7 @@ def _verify_jaccard_candidates(
         F.col(id_col).alias("id_b"), F.col("grams").alias("__gb")
     )
     verified = (
-        _spread(cand, "id_a", "id_b")
+        spread_even(cand)
         .join(arrs_a, on="id_a")
         .join(arrs_b, on="id_b")
         .select(
@@ -516,11 +550,12 @@ def _verify_jaccard_candidates(
     jac = F.when(
         union > 0, F.col("inter").cast("double") / union
     ).otherwise(F.lit(0.0))
-    return (
+    out = (
         verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return out.localCheckpoint(eager=False) if pin_result else out
 
 
 def jaccard_prefix_filter_pairs(
@@ -530,6 +565,7 @@ def jaccard_prefix_filter_pairs(
     block_cols: list[str],
     n: int = 3,
     threshold: float = 0.5,
+    pin_result: bool = True,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity join via PREFIX FILTERING
     (the AllPairs / SSJoin candidate generator: sort each gram set by
@@ -582,7 +618,9 @@ def jaccard_prefix_filter_pairs(
         .localCheckpoint(eager=False)
     )
     cand = _prefix_filter_candidates(base, block_cols, id_col, threshold)
-    return _verify_jaccard_candidates(base, cand, id_col, threshold)
+    return _verify_jaccard_candidates(
+        base, cand, id_col, threshold, pin_result=pin_result
+    )
 
 
 def _prefix_filter_candidates(
@@ -797,6 +835,7 @@ def similarity_join(
     max_df: int = 200,
     auto: bool = True,
     cost_ratio: float = 1.0,
+    pin_result: bool = True,
 ) -> DataFrame:
     """N-gram Jaccard similarity join with ADAPTIVE plan dispatch:
     measure the corpus's gram-df distribution (one agg over the
@@ -825,7 +864,8 @@ def similarity_join(
     candidate join it sizes."""
     if not auto:
         return jaccard_prefix_filter_pairs(
-            df, text_col, id_col, block_cols, n=n, threshold=threshold
+            df, text_col, id_col, block_cols, n=n, threshold=threshold,
+            pin_result=pin_result,
         )
     base = (
         _spread(
@@ -866,7 +906,9 @@ def similarity_join(
         cand = _capped_candidates(
             exploded, block_cols, id_col, max_df, gram_df=gram_df
         )
-    return _verify_jaccard_candidates(base, cand, id_col, threshold)
+    return _verify_jaccard_candidates(
+        base, cand, id_col, threshold, pin_result=pin_result
+    )
 
 
 def _capped_candidates(
@@ -1040,8 +1082,12 @@ def minhash_near_duplicates_md5(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    from big_data_processing_spark.partitioning import spread_even
+
     pairs = (
-        _spread(cand, "id_a", "id_b")
+        # keyless spread — same verify-width rationale as
+        # minhash_near_duplicates / _verify_jaccard_candidates
+        spread_even(cand)
         .join(
             grams.select(
                 F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")

@@ -31,6 +31,35 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *cols)
 
 
+def spread_even(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism —
+    the CPU-dense twin of :func:`spread` for frames whose BYTES are
+    small but whose per-row work is not (candidate pairs entering
+    exact set-similarity verification: ~20 bytes/row shuffled, an
+    array-intersect per row computed).
+
+    Why not ``spread`` (hash on columns): a keyed
+    ``repartition(n, cols)`` whose child is already hash-partitioned
+    on the same columns is ELIMINATED as redundant at planning time,
+    and the surviving upstream exchange is then AQE-coalesced by
+    BYTES — measured at sf0.1: a 582k-row candidate set (~5 MB)
+    coalesced to 4 post-shuffle partitions, putting 2/3 of the
+    query's CPU on 4 of 32 cores (verify stage 17 s wall instead of
+    ~1 s). A keyless round-robin exchange has a different output
+    partitioning, so it can never be eliminated, and its explicit
+    numPartitions is exempt from AQE coalescing. Rows are spread
+    evenly regardless of key skew.
+
+    Cost: one narrow shuffle (the rows are id pairs), plus the
+    deterministic pre-sort Spark applies to keyless repartitions
+    (``spark.sql.execution.sortBeforeRepartition``) so task retries
+    reproduce the same assignment. At cluster scale a downstream
+    sort-merge join would re-shuffle by key anyway — this exchange
+    stays cheap relative to the per-row verification it widens."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def warn_if_quadratic(
     df: DataFrame,
     what: str,

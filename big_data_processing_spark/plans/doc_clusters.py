@@ -134,6 +134,10 @@ def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=NGRAM_N,
         threshold=THRESHOLD,
         max_df=MAX_DF,
+        # dedup_clusters eagerly checkpoints its symmetrized edge
+        # list right away — pinning the pair frame too would
+        # materialize the same rows twice
+        pin_result=False,
     )
     clusters = dedup_clusters(pairs).localCheckpoint(eager=True)
     # Drop (dict-only) entries of stopped applications — their block

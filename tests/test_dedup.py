@@ -593,8 +593,11 @@ def test_similarity_join_auto_dispatch(spark):
     )
     d = choose_similarity_plan(base_of(rich), ["lang"], "doc_id", 0.9, 200)
     assert d["plan"] == "prefix", d
+    # pin_result=False keeps the logical plan visible (the default
+    # tail localCheckpoint replaces it with a LogicalRDD scan)
     out = similarity_join(
-        rich, "text", "doc_id", ["lang"], n=3, threshold=0.9, max_df=200
+        rich, "text", "doc_id", ["lang"], n=3, threshold=0.9, max_df=200,
+        pin_result=False,
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "slice" in plan  # the prefix generator's signature
@@ -615,7 +618,8 @@ def test_similarity_join_auto_dispatch(spark):
     assert d["plan"] == "capped", d
     assert d["w_capped"] == 0 and d["w_prefix_est"] > 0
     out = similarity_join(
-        flat, "text", "doc_id", ["lang"], n=3, threshold=0.9, max_df=200
+        flat, "text", "doc_id", ["lang"], n=3, threshold=0.9, max_df=200,
+        pin_result=False,
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "__df" in plan and "slice" not in plan
@@ -624,4 +628,55 @@ def test_similarity_join_auto_dispatch(spark):
             flat, "text", "doc_id", ["lang"], n=3, threshold=0.9,
             max_df=200,
         ).collect())
+    )
+
+
+def test_verify_widening_and_pin_preserve_results(spark):
+    """r11 optimization guards: the exact-verify stage is widened
+    with a keyless round-robin exchange (AQE byte-coalescing starved
+    the CPU-dense intersect stage down to 4 tasks at sf0.1) and the
+    verified pairs are pinned (lazy localCheckpoint) so a caller's
+    orderBy range-sampling cannot re-execute the candidate pipeline.
+    Neither may change a single output row, and the round-robin
+    exchange must actually survive planning (a keyed spread was
+    silently eliminated — the original bug)."""
+    from big_data_processing_spark.functions.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (i, f"some shared text body number {i % 7} with filler", "en")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    pinned = jaccard_prefix_filter_pairs(
+        df, "text", "doc_id", ["lang"], n=3, threshold=0.5
+    )
+    unpinned = jaccard_prefix_filter_pairs(
+        df, "text", "doc_id", ["lang"], n=3, threshold=0.5,
+        pin_result=False,
+    )
+    assert sorted(map(tuple, pinned.collect())) == sorted(
+        map(tuple, unpinned.collect())
+    )
+    # the pinned frame is a LogicalRDD scan (plan cut for the sorter)
+    assert "LogicalRDD" in (
+        pinned._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the widening exchange survives in the physical plan
+    phys = unpinned._jdf.queryExecution().executedPlan().toString()
+    assert "ROUND_ROBIN" in phys or "roundrobin" in phys.lower()
+
+    capped = ngram_jaccard_pairs(
+        df, "text", "doc_id", ["lang"], n=3, threshold=0.5, max_df=5,
+        pin_result=False,
+    )
+    capped_pinned = ngram_jaccard_pairs(
+        df, "text", "doc_id", ["lang"], n=3, threshold=0.5, max_df=5
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, capped_pinned.collect())
     )

@@ -188,14 +188,16 @@ def test_funnel_and_scd2_share_one_exchange(spark):
         assert plan.count("Exchange") == 1, (name, plan)
 
 
-def test_ewma_is_single_shuffle_grouped_pandas(spark):
-    """ewma_per_key: one exchange on the key feeding one Arrow
-    grouped-map kernel — no extra sort-shuffles, no Python row
-    loop in the plan."""
+def test_ewma_is_single_shuffle_partition_kernel(spark):
+    """ewma_per_key: one exchange on the key feeding one
+    partition-wide Arrow kernel (mapInPandas over key-sorted
+    partitions — r11: the grouped form paid per-KEY Python kernel
+    invocations) — no extra sort-shuffles, no row-at-a-time UDF."""
     df = SPECS["user_value_ewma"].fn(spark, SF0001)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # no per-key kernel calls
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
 
 
