@@ -985,6 +985,7 @@ def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.streaming.windowed import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
     )
 
     # Time-range chunking (ascending partition ranges → lexicographic
@@ -1010,7 +1011,12 @@ def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Fixed sink name: re-invocation replaces the memory table
     # instead of accumulating sjp_N pair tables in driver memory.
-    got = run_stream_to_memory(pairs, "sjp", output_mode="append")
+    got = run_stream_to_memory(
+        pairs, "sjp", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{work}/chunks", glob="part-*.parquet"
+        ),
+    )
     out = got.groupBy(
         F.date_trunc("hour", F.col("purchase_ts")).alias("purchase_hour")
     ).agg(
@@ -1082,6 +1088,7 @@ def q_streaming_late_drop_parity(
         hourly_event_counts,
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
     )
 
     events = load_table(spark, sf_dir, "events")
@@ -1112,7 +1119,12 @@ def q_streaming_late_drop_parity(
         spark, f"{work}/chunks", glob="chunk-*.parquet"
     )
     agg = hourly_event_counts(stream, watermark="2 hours")
-    got = run_stream_to_memory(agg, "sldp", output_mode="append")
+    got = run_stream_to_memory(
+        agg, "sldp", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{work}/chunks", glob="chunk-*.parquet"
+        ),
+    )
     return got.orderBy("hour", "event_type")
 
 
@@ -1176,6 +1188,7 @@ def q_stateful_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.streaming.windowed import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
     )
 
     # Same time-range chunking as streaming_join_parity: ascending
@@ -1191,7 +1204,12 @@ def q_stateful_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
     stream = read_event_stream(spark, f"{work}/chunks", glob="part-*.parquet")
     sessions = sessionize_stream(stream, gap_minutes=30.0)
-    got = run_stream_to_memory(sessions, "ssp", output_mode="append")
+    got = run_stream_to_memory(
+        sessions, "ssp", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{work}/chunks", glob="part-*.parquet"
+        ),
+    )
     return got.select(
         "user_id",
         "session_start",
@@ -1260,6 +1278,7 @@ def q_streaming_session_window_parity(
         read_event_stream,
         run_stream_to_memory,
         session_window_values,
+        stream_state_partitions,
     )
 
     # Same time-range chunking as stateful_sessions_parity: ascending
@@ -1277,7 +1296,12 @@ def q_streaming_session_window_parity(
     sessions = session_window_values(
         stream, gap="30 minutes", watermark="2 hours"
     )
-    got = run_stream_to_memory(sessions, "sswp", output_mode="append")
+    got = run_stream_to_memory(
+        sessions, "sswp", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{work}/chunks", glob="part-*.parquet"
+        ),
+    )
     return got.orderBy("user_id", "session_start")
 
 

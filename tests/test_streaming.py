@@ -395,3 +395,64 @@ def test_session_window_exact_gap_merges(spark):
         1,
     )
     assert two_a in got and two_b in got
+
+
+def test_stream_state_partitions_scale_adaptive(spark, tmp_path, monkeypatch):
+    """State-store count tracks input VOLUME (r11 optimization):
+    ceil(bytes/target) clamped to [floor, 10x parallelism], env
+    override wins, and run_stream_to_memory restores the session's
+    batch shuffle-partition setting after the stream starts."""
+    import os
+
+    from big_data_processing_spark.streaming.windowed import (
+        hourly_event_counts,
+        read_event_stream,
+        run_stream_to_memory,
+        stream_state_partitions,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x" * 1000)
+    (d / "b.parquet").write_bytes(b"x" * 1000)
+    # 2000 bytes / 1000-byte target = 2 stores, below floor=4 -> 4
+    assert stream_state_partitions(
+        spark, str(d), glob="*.parquet", target_bytes=1000, floor=4
+    ) == 4
+    # above the floor: 2000/250 = 8
+    assert stream_state_partitions(
+        spark, str(d), glob="*.parquet", target_bytes=250, floor=4
+    ) == 8
+    # ceiling: clamped to 10x defaultParallelism
+    par = spark.sparkContext.defaultParallelism
+    assert stream_state_partitions(
+        spark, str(d), glob="*.parquet", target_bytes=1, floor=4
+    ) == 10 * par
+    # env override pins the count
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "7")
+    assert stream_state_partitions(
+        spark, str(d), glob="*.parquet", target_bytes=1, floor=4
+    ) == 7
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS")
+
+    # identical results with a pinned state-partition count, and the
+    # session's batch setting is untouched afterwards
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = read_event_stream(spark, SF0001)
+    agg = hourly_event_counts(stream)
+    base = {
+        (r.hour, r.event_type, r.n_events, r.total_value)
+        for r in run_stream_to_memory(
+            agg, "ssp_base", output_mode="append"
+        ).collect()
+    }
+    stream2 = read_event_stream(spark, SF0001)
+    agg2 = hourly_event_counts(stream2)
+    sized = {
+        (r.hour, r.event_type, r.n_events, r.total_value)
+        for r in run_stream_to_memory(
+            agg2, "ssp_sized", output_mode="append", state_partitions=5
+        ).collect()
+    }
+    assert sized == base
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
