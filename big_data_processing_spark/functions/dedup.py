@@ -153,9 +153,20 @@ def minhash_near_duplicates(
     shingle_n: int = 5,
     threshold: float = 0.6,
     persist: bool = False,
+    pin_result: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``pin_result`` (default on) ends the pipeline with a lazy
+    ``localCheckpoint`` of the verified pairs — the same hazard fix
+    as :func:`_verify_jaccard_candidates`: callers sort the pairs,
+    and range partitioning SAMPLES its child, re-executing the
+    whole band-join + array-jaccard pipeline a second time
+    (measured at sf0.1 as two ~2-minute-executor-time verify stages
+    for one query; pinning cut the warm pass 15.5 s → ~4 s with
+    identical output). Pass ``False`` when the caller immediately
+    re-materializes the pairs itself.
 
     Pipeline: signatures (explode + one agg) → band hashes → bucket
     self-join on (band, bucket) ids only → distinct candidate pairs
@@ -245,14 +256,22 @@ def minhash_near_duplicates(
         shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
         on="id_b",
     )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly: the shingle arrays are
+    # array_distinct products. The identity avoids materializing a
+    # union ARRAY per pair — array_union allocated ~|A|+|B| elements
+    # per candidate, and the resulting allocation/GC pressure made
+    # the verify stage wildly unstable at sf0.1 (passes of 2-20 s
+    # wall, 419 s CPU worst case for 158k candidates vs ~19 s for
+    # the size-identity form).
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return out.localCheckpoint(eager=False) if pin_result else out
 
 
 def simhash64_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -339,6 +339,7 @@ def q_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_event_counts,
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
     )
 
     stream = read_event_stream(spark, sf_dir)
@@ -346,7 +347,12 @@ def q_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique sink name per invocation — warmup/timed bench passes and
     # repeated driver calls must not collide on the memory table
     name = f"sbp_hourly_{next(_STREAM_SINK_SEQ)}"
-    out = run_stream_to_memory(agg, name, output_mode="append")
+    out = run_stream_to_memory(
+        agg, name, output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, sf_dir, glob="events.parquet"
+        ),
+    )
     return out.orderBy("hour", "event_type")
 
 
@@ -3571,6 +3577,7 @@ def q_streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.streaming.windowed import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
     )
 
     stream = read_event_stream(spark, sf_dir)
@@ -3586,7 +3593,12 @@ def q_streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sep_enrich_{next(_STREAM_SINK_SEQ)}"
-    out = run_stream_to_memory(agg, name, output_mode="complete")
+    out = run_stream_to_memory(
+        agg, name, output_mode="complete",
+        state_partitions=stream_state_partitions(
+            spark, sf_dir, glob="events.parquet"
+        ),
+    )
     return out.orderBy("mktsegment")
 
 
@@ -4088,10 +4100,12 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams, sig = md5_minhash_frames(spark, sf_dir)
     # both pair sets are referenced by several aggregates below —
-    # pin them so the LSH pipelines run once each
+    # pinned so the LSH pipelines run once each (the fast path now
+    # pins its own verified result; a second checkpoint here would
+    # materialize the same rows twice)
     fast = minhash_near_duplicates(
         docs, "text", "doc_id", num_perm=32, bands=8, threshold=0.6
-    ).localCheckpoint(eager=False)
+    )
     twin = (
         minhash_near_duplicates_md5(
             docs, "text", "doc_id", num_perm=MH_NUM_PERM, bands=2,
@@ -4244,8 +4258,11 @@ def q_simhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # precision: true token-set jaccard of every fast pair
     dtk = tks.select("doc_id", F.array_distinct("t").alias("dt"))
-    tj = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
+    # size identity (arrays are array_distinct products): avoids
+    # materializing a union array per pair, same exact value
+    _tinter = F.size(F.array_intersect("ta", "tb"))
+    tj = _tinter.cast("double") / (
+        F.size("ta") + F.size("tb") - _tinter
     )
     prec = (
         fast.join(
@@ -4775,6 +4792,7 @@ def q_streaming_dedup_parity(
     from big_data_processing_spark.streaming.windowed import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
     )
 
     work = scratch_dir("sdp_chunks", sf_dir)
@@ -4803,7 +4821,12 @@ def q_streaming_dedup_parity(
     deduped = dedup_stream(
         stream, ["event_id"], ts_col="ts", watermark="2 hours"
     )
-    got = run_stream_to_memory(deduped, "sdp", output_mode="append")
+    got = run_stream_to_memory(
+        deduped, "sdp", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{work}/chunks", glob="part-*.parquet"
+        ),
+    )
     return got.select(
         "event_id", "ts", "user_id", "event_type", "value"
     ).orderBy("event_id")
@@ -5239,6 +5262,7 @@ def q_streaming_near_dup_parity(
     from big_data_processing_spark.sources.maintenance import scratch_dir
     from big_data_processing_spark.streaming.windowed import (
         run_stream_to_memory,
+        stream_state_partitions,
     )
 
     num_perm, bands = 8, 2
@@ -5350,7 +5374,12 @@ def q_streaming_near_dup_parity(
         .dropDuplicatesWithinWatermark(["doc_id", "hist_id"])
         .select("doc_id", "hist_id", "jaccard")
     )
-    got = run_stream_to_memory(flagged, "snd", output_mode="append")
+    got = run_stream_to_memory(
+        flagged, "snd", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{work}/chunks", glob="part-*.parquet"
+        ),
+    )
     return got.orderBy("doc_id", "hist_id")
 
 
