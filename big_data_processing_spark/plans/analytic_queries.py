@@ -689,7 +689,9 @@ def q_audio_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, fmt long, sample_rate int, "
         "n_frames int, channels int, mean_amp double, rms double, "
         "peak double",
-    )
+    ).localCheckpoint(eager=False)
+    # pinned before the sort: the orderBy's range partitioner
+    # samples its child — unpinned, every WAV decodes TWICE
     return out.select(
         "media_id",
         "fmt",
@@ -1395,7 +1397,11 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = ids.mapInPandas(synth, schema="media_id long, content binary")
-    out = sample_video_frames_real(media, every_n=2)
+    # pinned before the sort: the orderBy's range partitioner
+    # samples its child — unpinned, every AVI decodes TWICE
+    out = sample_video_frames_real(media, every_n=2).localCheckpoint(
+        eager=False
+    )
     return out.select(
         "media_id",
         "frame",

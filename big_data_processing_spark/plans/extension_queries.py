@@ -991,7 +991,10 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
     return (
+        # pinned before the sort: the orderBy's range partitioner
+        # samples its child — unpinned, every image decodes TWICE
         decode_media_stats(media)
+        .localCheckpoint(eager=False)
         .select(
             "media_id",
             (F.col("media_id") % 5).alias("fmt"),
@@ -1072,7 +1075,10 @@ def q_image_features_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
     return (
+        # pinned before the sort: the orderBy's range partitioner
+        # samples its child — unpinned, every image decodes TWICE
         decode_media_stats(media)
+        .localCheckpoint(eager=False)
         .select(
             "media_id",
             (F.col("media_id") % 2).alias("fmt"),
@@ -1177,7 +1183,10 @@ def q_image_features_interlaced(
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
     return (
+        # pinned before the sort: the orderBy's range partitioner
+        # samples its child — unpinned, every image decodes TWICE
         decode_media_stats(media)
+        .localCheckpoint(eager=False)
         .select(
             "media_id",
             (F.col("media_id") % 4).alias("fmt"),
@@ -1293,7 +1302,10 @@ def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
     return (
+        # pinned before the sort: the orderBy's range partitioner
+        # samples its child — unpinned, every image decodes TWICE
         decode_media_stats(media)
+        .localCheckpoint(eager=False)
         .select(
             "media_id",
             (F.col("media_id") % 4).alias("fmt"),
@@ -1422,7 +1434,10 @@ def q_image_features_jpeg_progressive(
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
     return (
+        # pinned before the sort: the orderBy's range partitioner
+        # samples its child — unpinned, every image decodes TWICE
         decode_media_stats(media)
+        .localCheckpoint(eager=False)
         .select(
             "media_id",
             (F.col("media_id") % 4).alias("fmt"),
@@ -1691,7 +1706,10 @@ def q_image_features_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
     return (
+        # pinned before the sort: the orderBy's range partitioner
+        # samples its child — unpinned, every image decodes TWICE
         decode_media_stats(media)
+        .localCheckpoint(eager=False)
         .select(
             "media_id",
             (F.col("media_id") % 8).alias("fmt"),
@@ -5587,7 +5605,10 @@ def q_image_features_webp_lossy(
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
     return (
+        # pinned before the sort: the orderBy's range partitioner
+        # samples its child — unpinned, every image decodes TWICE
         decode_media_stats(media)
+        .localCheckpoint(eager=False)
         .select(
             "media_id",
             (F.col("media_id") % 6).alias("variant"),
@@ -5704,8 +5725,14 @@ def q_video_frame_features_mjpeg(
             )
 
     media = ids.mapInPandas(synth, schema="media_id long, content binary")
+    # pin the decoded features before the sort: the orderBy's range
+    # partitioner samples its child, and without the pin that means
+    # decoding every video TWICE (measured at sf0.1: two stages of
+    # 48.9 s + 35.1 s executorRunTime for 8 videos — ~6 s of MJPEG
+    # frame decode per video per execution)
     return (
         sample_video_frames_real(media, every_n=2)
+        .localCheckpoint(eager=False)
         .orderBy("media_id", "frame")
     )
 
@@ -5863,7 +5890,10 @@ def q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(gen, schema="media_id long, content binary")
     return (
+        # pinned before the sort: the orderBy's range partitioner
+        # samples its child — unpinned, every image decodes TWICE
         decode_media_stats(media)
+        .localCheckpoint(eager=False)
         .select(
             "media_id",
             (F.col("media_id") % 8).alias("fmt"),
@@ -5981,7 +6011,10 @@ def q_gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = ids.mapInPandas(synth, schema="media_id long, content binary")
+    # same pin as the MJPEG twin: sort sampling would re-run the
+    # whole GIF LZW decode a second time
     return (
         sample_video_frames_real(media, every_n=2)
+        .localCheckpoint(eager=False)
         .orderBy("media_id", "frame")
     )

@@ -462,7 +462,13 @@ def q_compression_ratio_hygiene(
             )
 
     docs = ids.mapInPandas(synth, schema="doc_id long, text string")
-    return compression_ratio(docs, "text", "doc_id").orderBy("doc_id")
+    # pinned before the sort: the orderBy's range partitioner samples
+    # its child — unpinned, the zlib probe pipeline runs TWICE
+    return (
+        compression_ratio(docs, "text", "doc_id")
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 # BM25 retrieval: fixed bag-of-terms queries over the corpus vocab
