@@ -81,6 +81,7 @@ def main() -> None:
         },
         "md5_minhash_build": {
             "minhash_near_dup_checked", "minhash_fastpath_audit",
+            "streaming_near_dup_parity",
         },
         "pq_train_build": {
             "cosine_topk_pq", "cosine_topk_pq_rerank",
