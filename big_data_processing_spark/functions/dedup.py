@@ -457,8 +457,14 @@ def ngram_jaccard_pairs(
             *[F.col(c) for c in block_cols],
             char_ngram_hashes_of_norm(F.col("nrm"), n).alias("grams"),
         )
-        # referenced 4× below (sizes both sides, arrays both sides)
-        .localCheckpoint(eager=False)
+        # referenced 4× below (sizes both sides, arrays both sides).
+        # EAGER: the verify joins broadcast both array sides, and
+        # those BroadcastExchange jobs launch CONCURRENTLY — with a
+        # lazy checkpoint each one recomputes the normalize+shingle
+        # pipeline before any blocks exist (measured at sf0.1: the
+        # gram subtree executed 3× in one build, two of them as
+        # simultaneous broadcast jobs).
+        .localCheckpoint(eager=True)
     )
     if not threshold > 0.0:
         raise ValueError(
@@ -476,11 +482,22 @@ def ngram_jaccard_pairs(
         *block_cols, F.col(id_col), F.explode("grams").alias("g")
     )
     if max_df is not None:
-        cand = _capped_candidates(exploded, block_cols, id_col, max_df)
-        # exact verification on the full gram arrays — only the
-        # (small) candidate set pays the per-pair array shuffle
+        # one gram-df aggregate serves the candidate cap AND the
+        # verifier's bitmap dispatch — vocab-sized, cheap to hold
+        gram_df = (
+            exploded.groupBy(*block_cols, "g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .localCheckpoint(eager=False)
+        )
+        cand = _capped_candidates(
+            exploded, block_cols, id_col, max_df, gram_df=gram_df
+        )
+        # exact verification — bitmaps on small-vocabulary corpora,
+        # full gram arrays otherwise; only the (small) candidate set
+        # pays the per-pair work either way
         return _verify_jaccard_candidates(
-            base, cand, id_col, threshold, pin_result=pin_result
+            base, cand, id_col, threshold, pin_result=pin_result,
+            gram_df=gram_df, block_cols=block_cols,
         )
     inter_counts = (
         exploded.select(*block_cols, F.col(id_col).alias("id_a"), "g")
@@ -513,12 +530,170 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Block-vocabulary ceiling for the bitmap exact verifier: with
+#: ``vocab`` distinct grams in a block, each document's gram set is
+#: ``ceil(vocab/64)`` longs; 4096 → ≤64 words ANDed+popcounted per
+#: candidate pair, still well under the hash-set cost of
+#: ``array_intersect`` on typical (hundreds-long) gram arrays.
+_BITMAP_VOCAB_CAP = 4096
+
+
+def _max_block_vocab(gram_df: DataFrame, block_cols: list[str]) -> int:
+    """Largest per-block distinct-gram count — the statistic the
+    bitmap-verify dispatch keys on. One vocab-sized aggregate job."""
+    row = (
+        gram_df.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("__v"))
+        .agg(F.max("__v").alias("__mv"))
+        .collect()[0]
+    )
+    return int(row["__mv"] or 0)
+
+
+def _block_gram_dicts(
+    gram_df: DataFrame, block_cols: list[str]
+) -> DataFrame:
+    """Flat per-block dense gram dictionary for the bitmap verifier:
+    (*block_cols, g, __w word index, __b single-bit mask). Gram ids
+    are assigned by ``row_number`` over the block's grams in gram
+    order — deterministic, and irrelevant to the result (any
+    bijection gives the same intersection sizes). Kept FLAT so the
+    bitmap build attaches it with a broadcast HASH join — a
+    ``map``-typed dictionary probed per element was measured at
+    ~50 s CPU per build: Spark's ``element_at`` on a map is a
+    LINEAR key scan, not a hash lookup."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        *[F.col(c) for c in block_cols]
+    ).orderBy("g")
+    return (
+        gram_df.select(*block_cols, "g")
+        .withColumn("__gid", F.row_number().over(w) - F.lit(1))
+        .select(
+            *block_cols,
+            "g",
+            F.shiftright("__gid", 6).cast("int").alias("__w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), __gid % 64)").alias(
+                "__b"
+            ),
+        )
+    )
+
+
+def _bitmap_doc_frame(
+    base: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    dicts: DataFrame,
+    n_words: int,
+) -> DataFrame:
+    """(id, __sz, __bits) — each document's distinct-gram set as an
+    ``n_words``-long bitmap under its block's dictionary. One
+    broadcast hash join (gram → word/bit) over the exploded gram
+    table, then ``n_words`` fixed-width ``bit_or`` aggregates:
+    map-side partial aggregation collapses each document inside its
+    scan partition (``base`` is id-partitioned), so no new shuffle
+    and every op is codegen'd JVM work. A trailing-zero-padded
+    global width is exact: AND of zero words adds zero popcount."""
+    ent = base.select(
+        *block_cols, F.col(id_col), F.explode("grams").alias("g")
+    ).join(F.broadcast(dicts), on=[*block_cols, "g"])
+    zero = F.lit(0).cast("long")
+    words = [
+        F.bit_or(
+            F.when(F.col("__w") == i, F.col("__b")).otherwise(zero)
+        ).alias(f"__wd{i}")
+        for i in range(n_words)
+    ]
+    return (
+        ent.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("__sz"), *words)
+        .select(
+            F.col(id_col),
+            "__sz",
+            F.array(*[f"__wd{i}" for i in range(n_words)]).alias(
+                "__bits"
+            ),
+        )
+        # referenced by BOTH sides of the verify join (two broadcast
+        # jobs launched concurrently): without a pin each side
+        # rebuilds every bitmap
+        .localCheckpoint(eager=False)
+    )
+
+
+def _verify_jaccard_candidates_bitmap(
+    bits: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float,
+    pin_result: bool = True,
+) -> DataFrame:
+    """Exact Jaccard verification over per-document gram BITMAPS:
+    ``|A∩B|`` is the summed popcount of the pairwise AND — a few
+    dozen long ops per candidate instead of ``array_intersect``'s
+    per-pair hash-set build over hundreds of elements (measured at
+    sf0.1: the array verifier was the suite's single largest CPU
+    sink, 118 s executor CPU for 585k candidates in one build).
+    The values are IDENTICAL to the array path: both compute
+    ``|A∩B| / (|A|+|B|−|A∩B|)`` over the same distinct-gram-hash
+    sets, only the set representation differs."""
+    from big_data_processing_spark.partitioning import spread_even
+
+    ba = bits.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sz").alias("__sa"),
+        F.col("__bits").alias("__wa"),
+    )
+    bb = bits.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sz").alias("__sb"),
+        F.col("__bits").alias("__wb"),
+    )
+    zero = F.lit(0).cast("long")
+    verified = (
+        spread_even(cand)
+        .join(ba, on="id_a")
+        .join(bb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "__wa",
+                    "__wb",
+                    lambda x, y: F.bit_count(x.bitwiseAND(y)).cast(
+                        "long"
+                    ),
+                ),
+                zero,
+                lambda a, b: a + b,
+            ).alias("inter"),
+            F.col("__sa").alias("sz_a"),
+            F.col("__sb").alias("sz_b"),
+        )
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    jac = F.when(
+        union > 0, F.col("inter").cast("double") / union
+    ).otherwise(F.lit(0.0))
+    out = (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.localCheckpoint(eager=False) if pin_result else out
+
+
 def _verify_jaccard_candidates(
     base: DataFrame,
     cand: DataFrame,
     id_col: str,
     threshold: float,
     pin_result: bool = True,
+    gram_df: DataFrame | None = None,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of a candidate pair set against the
     full (id, grams) arrays in ``base``. Only the candidate set pays
@@ -544,8 +719,30 @@ def _verify_jaccard_candidates(
     ``pin_result=False`` skips the tail checkpoint for callers that
     immediately re-materialize the pairs themselves (the cluster
     builder eagerly checkpoints its symmetrized edge list) — a
-    second pin there is pure overhead."""
+    second pin there is pure overhead.
+
+    When the caller passes the (pinned) per-block ``gram_df`` it
+    already computed plus ``block_cols``, the verifier measures the
+    largest block vocabulary and — when it fits
+    ``_BITMAP_VOCAB_CAP`` — verifies over per-document gram BITMAPS
+    instead of hash arrays (:func:`_verify_jaccard_candidates_bitmap`;
+    identical values, ~2 orders of magnitude less per-pair work on
+    small-vocabulary corpora). Large-vocabulary corpora keep the
+    array path: a bitmap would be ``vocab/8`` bytes per document
+    there, far wider than the gram array itself."""
     from big_data_processing_spark.partitioning import spread_even
+
+    if gram_df is not None and block_cols:
+        vocab = _max_block_vocab(gram_df, block_cols)
+        if 0 < vocab <= _BITMAP_VOCAB_CAP:
+            bits = _bitmap_doc_frame(
+                base, block_cols, id_col,
+                _block_gram_dicts(gram_df, block_cols),
+                (vocab + 63) // 64,
+            )
+            return _verify_jaccard_candidates_bitmap(
+                bits, cand, id_col, threshold, pin_result=pin_result
+            )
 
     arrs_a = base.select(
         F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")
@@ -636,9 +833,18 @@ def jaccard_prefix_filter_pairs(
         # referenced 3× below (prefix build + both verify sides)
         .localCheckpoint(eager=False)
     )
-    cand = _prefix_filter_candidates(base, block_cols, id_col, threshold)
+    gram_df = (
+        base.select(*block_cols, F.explode("grams").alias("g"))
+        .groupBy(*block_cols, "g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .localCheckpoint(eager=False)
+    )
+    cand = _prefix_filter_candidates(
+        base, block_cols, id_col, threshold, gram_df=gram_df
+    )
     return _verify_jaccard_candidates(
-        base, cand, id_col, threshold, pin_result=pin_result
+        base, cand, id_col, threshold, pin_result=pin_result,
+        gram_df=gram_df, block_cols=block_cols,
     )
 
 
@@ -926,7 +1132,8 @@ def similarity_join(
             exploded, block_cols, id_col, max_df, gram_df=gram_df
         )
     return _verify_jaccard_candidates(
-        base, cand, id_col, threshold, pin_result=pin_result
+        base, cand, id_col, threshold, pin_result=pin_result,
+        gram_df=gram_df, block_cols=block_cols,
     )
 
 

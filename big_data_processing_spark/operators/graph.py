@@ -21,9 +21,12 @@ Scale notes
   block storage, so without explicit release the loop leaks one
   label frame per round — measured as a timed pass running slower
   than its own warmup at sf0.1 (r3 bench).
-- Pointer jumping makes convergence ~log(diameter), so the
-  convergence count (a driver action) only runs every 2nd round —
-  worst case one extra cheap round, half the scalar actions.
+- Pointer jumping makes convergence ~log(diameter), so few rounds
+  run at all; convergence is detected with an ``observe()`` metric
+  collected DURING each round's own checkpoint job (zero extra
+  actions — the old separate join+count convergence job cost ~2
+  driver round-trips per check and only ran every 2nd round, so it
+  also overshot convergence by up to one full round).
 """
 
 from __future__ import annotations
@@ -125,7 +128,9 @@ def connected_components(
         eager=True
     )
 
-    for round_no in range(1, max_iter + 1):
+    from pyspark.sql import Observation
+
+    for _round_no in range(1, max_iter + 1):
         nb = (
             sym.join(
                 labels.select(
@@ -139,6 +144,7 @@ def connected_components(
         )
         new_labels = labels.join(nb, on="id", how="left").select(
             "id",
+            F.col("comp").alias("__old"),
             F.least(
                 F.col("comp"), F.coalesce(F.col("min_nb"), F.col("comp"))
             ).alias("comp"),
@@ -151,23 +157,26 @@ def connected_components(
         )
         new_labels = new_labels.join(jump, on="comp", how="left").select(
             "id",
+            "__old",
             F.least(
                 F.col("comp"), F.coalesce(F.col("cc"), F.col("comp"))
             ).alias("comp"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        converged = False
-        if round_no % 2 == 0 or round_no == max_iter:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            converged = changed == 0
+        # convergence metric rides the round's own materialization:
+        # the round is a no-op (fixpoint reached) iff no label moved.
+        # CollectMetrics is per-task accumulation — no extra job, no
+        # join+count action, and the check now runs EVERY round.
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs,
+            F.sum((F.col("comp") != F.col("__old")).cast("long")).alias(
+                "changed"
+            ),
+        ).select("id", "comp").localCheckpoint(eager=True)
+        changed = obs.get["changed"] or 0
         release_checkpoint(labels)
         labels = new_labels
-        if converged:
+        if changed == 0:
             break
     release_checkpoint(sym)
     return labels

@@ -175,6 +175,41 @@ def test_ngram_jaccard_max_df_subset_and_exact_values(spark):
     assert full == exact
 
 
+def test_bitmap_verify_identical_to_array_verify(spark, monkeypatch):
+    """The bitmap exact verifier must return the SAME pair set and
+    values as the array verifier — same candidates, same distinct-
+    gram-hash sets, only the set representation differs. Pin both
+    directions: default dispatch picks bitmaps on this tiny-vocab
+    corpus (bit_count visible in the plan), and a zeroed vocab cap
+    forces the array path, with identical output."""
+    import big_data_processing_spark.functions.dedup as dd
+    from big_data_processing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def run():
+        return dd.ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang"], n=3, threshold=0.3,
+            max_df=50, pin_result=False,
+        )
+
+    bitmap_df = run()
+    plan = bitmap_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" in plan  # dispatch chose the bitmap verifier
+    bitmap = {(r.id_a, r.id_b): r.jaccard for r in bitmap_df.collect()}
+
+    monkeypatch.setattr(dd, "_BITMAP_VOCAB_CAP", 0)
+    array_df = run()
+    plan = array_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" not in plan  # cap 0 forces the array verifier
+    arr = {(r.id_a, r.id_b): r.jaccard for r in array_df.collect()}
+
+    assert bitmap == arr
+    assert len(bitmap) > 0
+
+
 def test_prefix_filter_identical_to_exact_inverted_index(spark):
     """Prefix filtering is a full-recall candidate generator: output
     must be SET-IDENTICAL (pairs and values) to the exact
