@@ -182,12 +182,14 @@ def main() -> None:
     # one-time materialization is timed as its own entry so
     # minhash_near_dup_checked reports steady-state reads.
     from big_data_processing_spark.plans.doc_clusters import (
+        md5_gram_bits,
         md5_minhash_frames,
     )
 
     if build_wanted("md5_minhash_build"):
         t0 = time.perf_counter()
         md5_minhash_frames(spark, sf_dir)  # eager checkpoints
+        md5_gram_bits(spark, sf_dir)  # memoized gram bitmaps
         timings["md5_minhash_build"] = round(time.perf_counter() - t0, 3)
         print(f"bench: md5_minhash_build {timings['md5_minhash_build']}s "
               "(cold, memoized for consumers)", file=sys.stderr)

@@ -243,6 +243,13 @@ def minhash_near_duplicates(
     )
     if persist:
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    # NB: a bitmap-verify dispatch here (like _verify_jaccard_
+    # candidates') was tried and REVERTED: without a session-
+    # memoized bitmap frame the vocab scalar + dictionary window +
+    # bitmap build re-run per invocation and made the query 13×
+    # slower at sf0.1 — the bitmap representation only pays when
+    # its build is shared across verifications (see the md5 twin's
+    # `bits` parameter / plans.doc_clusters.md5_gram_bits).
     # keyless spread: the keyed form is planner-eliminated against
     # the dropDuplicates exchange and the surviving exchange is then
     # AQE-coalesced by BYTES — wrong width for the CPU-dense
@@ -557,11 +564,13 @@ def _block_gram_dicts(
     (*block_cols, g, __w word index, __b single-bit mask). Gram ids
     are assigned by ``row_number`` over the block's grams in gram
     order — deterministic, and irrelevant to the result (any
-    bijection gives the same intersection sizes). Kept FLAT so the
-    bitmap build attaches it with a broadcast HASH join — a
-    ``map``-typed dictionary probed per element was measured at
-    ~50 s CPU per build: Spark's ``element_at`` on a map is a
-    LINEAR key scan, not a hash lookup."""
+    bijection gives the same intersection sizes). ``block_cols``
+    may be empty (unblocked operators like MinHash): the dictionary
+    is then global. Kept FLAT so the bitmap build attaches it with
+    a broadcast HASH join — a ``map``-typed dictionary probed per
+    element was measured at ~50 s CPU per build: Spark's
+    ``element_at`` on a map is a LINEAR key scan, not a hash
+    lookup."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(
@@ -587,34 +596,47 @@ def _bitmap_doc_frame(
     id_col: str,
     dicts: DataFrame,
     n_words: int,
+    gram_col: str = "grams",
 ) -> DataFrame:
     """(id, __sz, __bits) — each document's distinct-gram set as an
     ``n_words``-long bitmap under its block's dictionary. One
     broadcast hash join (gram → word/bit) over the exploded gram
-    table, then ``n_words`` fixed-width ``bit_or`` aggregates:
-    map-side partial aggregation collapses each document inside its
-    scan partition (``base`` is id-partitioned), so no new shuffle
-    and every op is codegen'd JVM work. A trailing-zero-padded
-    global width is exact: AND of zero words adds zero popcount."""
+    table, then two aggregates — (id, word) → OR of bit masks, then
+    id → word map — both collapsed by map-side partial aggregation
+    inside the scan partition (``base`` is id-partitioned), so no
+    new shuffle and every op is codegen'd JVM work. The two-level
+    shape keeps per-input-row work CONSTANT in ``n_words`` (a
+    single-level form with one ``bit_or(when(...))`` aggregate per
+    word paid n_words conditionals per gram instance). A
+    trailing-zero-padded global width is exact: AND of zero words
+    adds zero popcount."""
     ent = base.select(
-        *block_cols, F.col(id_col), F.explode("grams").alias("g")
+        *block_cols, F.col(id_col), F.explode(gram_col).alias("g")
     ).join(F.broadcast(dicts), on=[*block_cols, "g"])
     zero = F.lit(0).cast("long")
-    words = [
-        F.bit_or(
-            F.when(F.col("__w") == i, F.col("__b")).otherwise(zero)
-        ).alias(f"__wd{i}")
-        for i in range(n_words)
-    ]
+    perword = ent.groupBy(id_col, "__w").agg(
+        F.bit_or("__b").alias("__word"),
+        F.count(F.lit(1)).alias("__c"),
+    )
     return (
-        ent.groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("int").alias("__sz"), *words)
+        perword.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("int").alias("__sz"),
+            F.map_from_entries(
+                F.collect_list(F.struct("__w", "__word"))
+            ).alias("__wm"),
+        )
         .select(
             F.col(id_col),
             "__sz",
-            F.array(*[f"__wd{i}" for i in range(n_words)]).alias(
-                "__bits"
-            ),
+            # ≤ n_words entries per map: the linear element_at probe
+            # is bounded by n_words², fine at dictionary scale
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.coalesce(
+                    F.element_at(F.col("__wm"), w), zero
+                ),
+            ).alias("__bits"),
         )
         # referenced by BOTH sides of the verify join (two broadcast
         # jobs launched concurrently): without a pin each side
@@ -1249,6 +1271,7 @@ def minhash_near_duplicates_md5(
     threshold: float = 0.6,
     grams: DataFrame | None = None,
     sig: DataFrame | None = None,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs on a CROSS-ENGINE hash basis:
     permutation i of a gram is md5("i:" || gram), and the signature
@@ -1274,7 +1297,16 @@ def minhash_near_duplicates_md5(
     self-join references sig twice; the two verification joins
     reference grams twice more) — the r6 bench read 15.7 s at sf0.1
     for exactly that reason. With localCheckpointed frames
-    (plans/doc_clusters.md5_minhash_frames) each pipeline runs once."""
+    (plans/doc_clusters.md5_minhash_frames) each pipeline runs once.
+
+    ``bits`` accepts a pre-built, session-memoized (id, __sz,
+    __bits) gram-bitmap frame (:func:`_bitmap_doc_frame` over the
+    SAME grams — see plans.doc_clusters.md5_gram_bits): candidates
+    are then verified by popcount-of-AND instead of
+    ``array_intersect`` over the ~1000-string arrays, with
+    identical jaccard values. Deliberately NOT self-built here:
+    un-memoized, the vocab scalar + dictionary + bitmap build
+    re-run per invocation and cost more than they save."""
     rows = num_perm // bands
     if grams is None:
         grams = md5_gram_sets(df, text_col, id_col, shingle_n)
@@ -1307,6 +1339,11 @@ def minhash_near_duplicates_md5(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    if bits is not None:
+        return _verify_jaccard_candidates_bitmap(
+            bits, cand, id_col, threshold, pin_result=False
+        )
 
     from big_data_processing_spark.partitioning import spread_even
 

@@ -202,3 +202,48 @@ def md5_minhash_frames(
     _CACHE[gkey] = grams
     _CACHE[skey] = sig
     return grams, sig
+
+
+def md5_gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Memoized gram-BITMAP frame over the md5 string-gram basis
+    (``_bitmap_doc_frame`` over the memoized :func:`md5_minhash_frames`
+    grams) — shared by every audit that exact-verifies pairs against
+    the string gram sets (the twin's verification join and the
+    fast-path audit's precision re-check each paid an
+    ``array_intersect`` over ~1000-string arrays per pair; popcount
+    over the bitmap is ~30× less work with identical jaccard
+    values). Returns ``None`` when the corpus vocabulary exceeds the
+    bitmap cap — callers then keep the array path."""
+    from big_data_processing_spark.functions.dedup import (
+        _BITMAP_VOCAB_CAP,
+        _bitmap_doc_frame,
+        _block_gram_dicts,
+    )
+
+    base = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "md5mh",
+        MH_NUM_PERM,
+        MH_SHINGLE_N,
+    )
+    bkey = (*base, "bits")
+    if bkey in _CACHE:
+        return _CACHE[bkey]
+    grams, _sig = md5_minhash_frames(spark, sf_dir)
+    vocab_src = (
+        grams.select(F.explode("grams").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    vocab = vocab_src.count()
+    if not 0 < vocab <= _BITMAP_VOCAB_CAP:
+        _CACHE[bkey] = None  # memoize the decision too (scalar job)
+        return None
+    bits = _bitmap_doc_frame(
+        grams, [], "doc_id", _block_gram_dicts(vocab_src, []),
+        (vocab + 63) // 64,
+    )
+    bits.count()  # materialize the builder's own lazy checkpoint now
+    _CACHE[bkey] = bits
+    return bits

@@ -3282,6 +3282,7 @@ def q_minhash_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.plans.doc_clusters import (
         MH_NUM_PERM,
         MH_SHINGLE_N,
+        md5_gram_bits,
         md5_minhash_frames,
     )
 
@@ -3290,6 +3291,7 @@ def q_minhash_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates_md5(
         docs, "text", "doc_id", num_perm=MH_NUM_PERM, bands=2,
         shingle_n=MH_SHINGLE_N, threshold=0.6, grams=grams, sig=sig,
+        bits=md5_gram_bits(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 
@@ -3919,11 +3921,13 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_processing_spark.plans.doc_clusters import (
         MH_NUM_PERM,
         MH_SHINGLE_N,
+        md5_gram_bits,
         md5_minhash_frames,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     grams, sig = md5_minhash_frames(spark, sf_dir)
+    bits = md5_gram_bits(spark, sf_dir)
     # both pair sets are referenced by several aggregates below —
     # pinned so the LSH pipelines run once each (the fast path now
     # pins its own verified result; a second checkpoint here would
@@ -3935,6 +3939,7 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_near_duplicates_md5(
             docs, "text", "doc_id", num_perm=MH_NUM_PERM, bands=2,
             shingle_n=MH_SHINGLE_N, threshold=0.6, grams=grams, sig=sig,
+            bits=bits,
         )
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
@@ -3942,21 +3947,57 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # precision: exact STRING-gram jaccard of every fast pair (the
     # fast path verified on the xxhash64 gram basis; this re-checks
-    # on the cross-engine string basis the oracle uses)
-    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("__ga"))
-    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("__gb"))
-    inter = F.size(F.array_intersect("__ga", "__gb"))
-    sj = inter.cast("double") / (
-        F.size("__ga") + F.size("__gb") - inter
-    )
-    prec = (
-        fast.join(ga, "id_a")
-        .join(gb, "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_fast"),
-            F.min(F.round(sj, 6)).alias("min_sj"),
+    # on the cross-engine string basis the oracle uses). Intersection
+    # sizes come from the memoized gram BITMAPS when the vocabulary
+    # fits (popcount of AND ≡ |A∩B| over the same string gram sets —
+    # array_intersect on the ~1000-string arrays was this query's
+    # largest CPU stage); the array join remains the fallback.
+    if bits is not None:
+        ba = bits.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("__sz").alias("__sa"),
+            F.col("__bits").alias("__wa"),
         )
-    )
+        bb = bits.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("__sz").alias("__sb"),
+            F.col("__bits").alias("__wb"),
+        )
+        zero = F.lit(0).cast("long")
+        inter = F.aggregate(
+            F.zip_with(
+                "__wa", "__wb",
+                lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
+            ),
+            zero,
+            lambda a, b: a + b,
+        )
+        sj = inter.cast("double") / (
+            F.col("__sa") + F.col("__sb") - inter
+        )
+        prec = (
+            fast.join(ba, "id_a")
+            .join(bb, "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_fast"),
+                F.min(F.round(sj, 6)).alias("min_sj"),
+            )
+        )
+    else:
+        ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("__ga"))
+        gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("__gb"))
+        inter = F.size(F.array_intersect("__ga", "__gb"))
+        sj = inter.cast("double") / (
+            F.size("__ga") + F.size("__gb") - inter
+        )
+        prec = (
+            fast.join(ga, "id_a")
+            .join(gb, "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_fast"),
+                F.min(F.round(sj, 6)).alias("min_sj"),
+            )
+        )
 
     # identical-gram-set pairs: md5 the sorted gram list (128-bit —
     # group identity without shuffling full gram arrays). The
