@@ -134,23 +134,31 @@ def build_ivfpq_index(
             spark.sparkContext.parallelize(data, 1), schema
         )
 
+    # ONE artifact file for meta + coarse centroids + codebooks: the
+    # artifacts are read back together (_load_artifacts), and every
+    # extra tiny parquet costs a write job at build plus a
+    # schema-read and a collect job at each load — this parity
+    # query's wall time is almost entirely per-job fixed overhead
+    # (~60 driver actions of 0.02-0.6 s, no stage over 1 s).
+    meta_row = ("meta", -1, -1, [], n_cells, m, ksub, dsub,
+                dsub * m, train_limit)
+    cent_rows = [
+        ("cent", int(i), -1, [float(x) for x in c], -1, -1, -1, -1,
+         -1, -1)
+        for i, c in enumerate(coarse)
+    ]
+    book_rows = [
+        ("book", int(j), int(c), [float(x) for x in books[j, c]],
+         -1, -1, -1, -1, -1, -1)
+        for j in range(m)
+        for c in range(ksub)
+    ]
     _tiny(
-        [(n_cells, m, ksub, dsub, dsub * m, train_limit)],
+        [meta_row, *cent_rows, *book_rows],
+        "kind string, j int, c int, centroid array<double>, "
         "n_cells int, m int, ksub int, dsub int, dim int, "
         "train_limit int",
-    ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
-    _tiny(
-        [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
-        "cell int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
-    _tiny(
-        [
-            (j, c, [float(x) for x in books[j, c]])
-            for j in range(m)
-            for c in range(ksub)
-        ],
-        "j int, c int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
+    ).write.mode("overwrite").parquet(f"{path}/artifacts.parquet")
     # repartition by cell before the partitioned write: without it
     # every encode task opens a file in every cell directory —
     # measured at sf0.1 as 32 tasks × 16 cells = 512 near-empty
@@ -170,15 +178,15 @@ def build_ivfpq_index(
 def _load_artifacts(spark: SparkSession, path: str):
     import numpy as np
 
-    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
-    crows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+    rows = spark.read.parquet(f"{path}/artifacts.parquet").collect()
+    meta = next(r for r in rows if r["kind"] == "meta")
     coarse = np.zeros((meta["n_cells"], meta["dim"]))
-    for r in crows:
-        coarse[r["cell"]] = r["centroid"]
-    brows = spark.read.parquet(f"{path}/codebooks.parquet").collect()
     books = np.zeros((meta["m"], meta["ksub"], meta["dsub"]))
-    for r in brows:
-        books[r["j"], r["c"]] = r["centroid"]
+    for r in rows:
+        if r["kind"] == "cent":
+            coarse[r["j"]] = r["centroid"]
+        elif r["kind"] == "book":
+            books[r["j"], r["c"]] = r["centroid"]
     return meta, coarse, books
 
 
