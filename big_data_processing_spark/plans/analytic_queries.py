@@ -1205,21 +1205,24 @@ def q_stateful_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
     stream = read_event_stream(spark, f"{work}/chunks", glob="part-*.parquet")
-    sessions = sessionize_stream(stream, gap_minutes=30.0)
-    # floor at core count, not the fixed-cost floor: this state stage
-    # carries REAL per-group Python work (applyInPandasWithState
-    # invokes the kernel once per user), so partitions bound Python
-    # parallelism — measured at sf0.1: 4 stores 10.5 s warm, 16-32
-    # stores 5.5-5.7 s. The JVM-state parity queries (join/window/
-    # dedup) keep the low floor: their per-store cost is pure
-    # overhead (61.6 s runtime vs 0.68 s CPU measured) and fewer
-    # stores won them 2-8x.
+    # Volume-derived store count, LOW floor (r12): the kernel now
+    # sessionizes a whole USER BUCKET per call (one state row and
+    # one Python round-trip per bucket per batch, not per user —
+    # streaming/stateful.py), so store count no longer needs to
+    # compensate for per-group call overhead. r11 floored this at
+    # defaultParallelism because 6000 per-user kernel calls
+    # serialized over few stores (4 stores 10.5 s / 32 stores
+    # 5.5 s); bucketed, the same query measured FASTER at the
+    # volume-derived low store count than at 32 stores (per-store
+    # fixed load/commit cost dominates again, like the JVM-state
+    # parity queries). Buckets == stores: more buckets than stores
+    # adds kernel calls without adding parallelism.
+    sp = stream_state_partitions(
+        spark, f"{work}/chunks", glob="part-*.parquet"
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30.0, n_buckets=sp)
     got = run_stream_to_memory(
-        sessions, "ssp", output_mode="append",
-        state_partitions=stream_state_partitions(
-            spark, f"{work}/chunks", glob="part-*.parquet",
-            floor=spark.sparkContext.defaultParallelism,
-        ),
+        sessions, "ssp", output_mode="append", state_partitions=sp,
     )
     return got.select(
         "user_id",

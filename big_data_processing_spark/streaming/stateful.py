@@ -45,19 +45,25 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-# (session_start_ns, last_ts_ns, n_events, total_value)
+# Per-BUCKET state: the per-user (session_start_ns, last_ts_ns,
+# n_events, total_value) rows of every active user hashing to the
+# bucket, as parallel arrays (one state row per bucket, not per
+# user — see sessionize_stream).
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ns", T.LongType()),
-        T.StructField("last_ns", T.LongType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("user_ids", T.ArrayType(T.LongType())),
+        T.StructField("start_ns", T.ArrayType(T.LongType())),
+        T.StructField("last_ns", T.ArrayType(T.LongType())),
+        T.StructField("n_events", T.ArrayType(T.LongType())),
+        T.StructField("total_value", T.ArrayType(T.DoubleType())),
     ]
 )
 
 
 def sessionize_stream(
-    events: DataFrame, gap_minutes: float = 30.0
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Per-user gap sessionization over a stream of
     (user_id, ts, value) rows: emits (user_id, session_start,
@@ -66,7 +72,22 @@ def sessionize_stream(
     more than ``gap_minutes`` after its last event. The (single)
     still-open session per user remains in state, exactly like the
     batch twin's final session before end-of-input.
-    """
+
+    The stream is grouped by ``pmod(user_id, n_buckets)`` — a USER
+    BUCKET — not by user, and one kernel call sessionizes every
+    user of the bucket present in the micro-batch (r12, guide §4):
+    ``applyInPandasWithState`` invokes the Python kernel and round-
+    trips the state row ONCE PER GROUP per micro-batch, so per-user
+    grouping paid that fixed cost per active user (measured at
+    sf0.1: 1500 users × 4 micro-batches = 6000 kernel calls
+    dominating the query; bucketed it is ``n_buckets`` calls per
+    batch). Per-user state rides the bucket's state row as parallel
+    arrays. The per-user event-order arithmetic is unchanged — each
+    user's events are still walked in ascending-ts order with the
+    same fold — so emitted rows are identical to the per-user
+    grouping. At scale, buckets keep state rows bounded by setting
+    ``n_buckets`` ∝ expected concurrent users (the registered query
+    ties it to the volume-derived state-store count)."""
     gap_ns = int(gap_minutes * 60 * 1e9)
 
     def kernel(
@@ -74,34 +95,66 @@ def sessionize_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
         if state.exists:
-            start_ns, last_ns, n_events, total_value = state.get
+            users, starts, lasts, counts, totals = state.get
+            st: dict[int, list] = {
+                int(u): [s, ls, n, t]
+                for u, s, ls, n, t in zip(users, starts, lasts, counts,
+                                          totals)
+            }
         else:
-            start_ns = last_ns = -1
-            n_events, total_value = 0, 0.0
+            st = {}
 
         closed: list[tuple[int, int, int, int, float]] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+            # stable sort: per user ascending ts — (user, ts) pairs
+            # are unique in this corpus family, and equal-ts events
+            # share a session by contract either way
+            pdf = pdf.sort_values(["user_id", "ts"], kind="mergesort")
+            uid_arr = pdf["user_id"].to_numpy()
             ts_ns = pdf["ts"].astype("int64").to_numpy()
             vals = pdf["value"].fillna(0.0).to_numpy()
-            for t, v in zip(ts_ns, vals):
-                if start_ns < 0:
-                    start_ns, last_ns = t, t
-                    n_events, total_value = 1, float(v)
-                elif t - last_ns > gap_ns:
-                    closed.append(
-                        (user_id, start_ns, last_ns, n_events, total_value)
-                    )
-                    start_ns, last_ns = t, t
-                    n_events, total_value = 1, float(v)
+            n = len(uid_arr)
+            lo = 0
+            while lo < n:
+                hi = lo
+                u = int(uid_arr[lo])
+                while hi < n and uid_arr[hi] == u:
+                    hi += 1
+                s = st.get(u)
+                if s is None:
+                    start_ns = last_ns = -1
+                    n_events, total_value = 0, 0.0
                 else:
-                    last_ns = t
-                    n_events += 1
-                    total_value += float(v)
+                    start_ns, last_ns, n_events, total_value = s
+                # identical per-event fold to the per-user kernel:
+                # same branch structure, same float addition order
+                for t, v in zip(ts_ns[lo:hi], vals[lo:hi]):
+                    if start_ns < 0:
+                        start_ns, last_ns = t, t
+                        n_events, total_value = 1, float(v)
+                    elif t - last_ns > gap_ns:
+                        closed.append(
+                            (u, start_ns, last_ns, n_events, total_value)
+                        )
+                        start_ns, last_ns = t, t
+                        n_events, total_value = 1, float(v)
+                    else:
+                        last_ns = t
+                        n_events += 1
+                        total_value += float(v)
+                st[u] = [int(start_ns), int(last_ns), n_events,
+                         total_value]
+                lo = hi
 
-        state.update((int(start_ns), int(last_ns), n_events, total_value))
+        items = sorted(st.items())
+        state.update((
+            [u for u, _ in items],
+            [s[0] for _, s in items],
+            [s[1] for _, s in items],
+            [s[2] for _, s in items],
+            [s[3] for _, s in items],
+        ))
         if closed:
             out = pd.DataFrame(
                 closed,
@@ -114,9 +167,14 @@ def sessionize_stream(
             out["session_end"] = pd.to_datetime(out["session_end"])
             yield out
 
+    from pyspark.sql import functions as F
+
     return (
-        events.select("user_id", "ts", "value")
-        .groupBy("user_id")
+        events.select(
+            "user_id", "ts", "value",
+            F.pmod("user_id", F.lit(n_buckets)).alias("__bucket"),
+        )
+        .groupBy("__bucket")
         .applyInPandasWithState(
             kernel,
             outputStructType=SESSION_SCHEMA,
