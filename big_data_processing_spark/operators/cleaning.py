@@ -53,6 +53,84 @@ def range_filter(df: DataFrame, rules: list[RangeRule]) -> DataFrame:
     return df.filter(range_predicate(rules))
 
 
+def exact_percentile_values(
+    df: DataFrame,
+    column: str,
+    ps: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """DISTRIBUTED exact percentiles, bit-identical to Spark's
+    ``percentile(column, array(ps))`` (r12, guide §5): Spark's exact
+    ``percentile`` is an ObjectHashAggregate whose final merge pulls
+    every partial value-count map through ONE reducer thread and
+    sorts the full value multiset there — measured 1-2 s per
+    aggregate job on 600k doubles at sf0.1, the reason
+    ``mad_outlier_filter``'s two percentile jobs cost more than its
+    full-table filter. This formulation keeps every step a codegen'd
+    shuffle operator:
+
+    1. ``(group, value) → count`` partial aggregation — the shuffle
+       carries one row per DISTINCT value (map-side combined);
+    2. a cumulative-count window ordered by value within each group
+       (for the ungrouped form that window is one partition of
+       NARROW (value, count) rows — a Tungsten sort of the distinct
+       values, not a merge of per-partition value maps);
+    3. one tiny aggregate picks, per requested percentile p, the
+       values at 0-based ranks ``floor(pos)`` / ``ceil(pos)`` where
+       ``pos = p·(n−1)``, and the final projection interpolates
+       ``(ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi`` — the exact
+       expression (and IEEE evaluation order) of Spark's
+       ``Percentile.getPercentile``, so results match the aggregate
+       bit-for-bit (property-pinned in tests/test_cleaning.py).
+
+    Returns one row per group: (*group_cols, q array<double> in the
+    order of ``ps``). NULLs in ``column`` are excluded, like the
+    aggregate. At 100 TB the approx sketch stays the documented
+    path; this is the oracle-parity exact twin."""
+    from pyspark.sql.window import Window
+
+    gc = list(group_cols or [])
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(*gc, column)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_ord = Window.partitionBy(*gc).orderBy(column)
+    w_all = Window.partitionBy(*gc)
+    cum = counts.withColumn("__cum", F.sum("__c").over(w_ord)).withColumn(
+        "__n", F.sum("__c").over(w_all)
+    )
+    aggs = [F.max("__n").alias("__n")]
+    for j, p in enumerate(ps):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        prev = F.col("__cum") - F.col("__c")
+        aggs.append(
+            F.min(
+                F.when((prev <= lo) & (lo < F.col("__cum")), F.col(column))
+            ).alias(f"__lo{j}")
+        )
+        aggs.append(
+            F.min(
+                F.when((prev <= hi) & (hi < F.col("__cum")), F.col(column))
+            ).alias(f"__hi{j}")
+        )
+    g = cum.groupBy(*gc).agg(*aggs)
+    vals = []
+    for j, p in enumerate(ps):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        vlo = F.col(f"__lo{j}").cast("double")
+        vhi = F.col(f"__hi{j}").cast("double")
+        vals.append(
+            F.when(lo == hi, vlo).otherwise(
+                (hi.cast("double") - pos) * vlo
+                + (pos - lo.cast("double")) * vhi
+            )
+        )
+    return g.select(*gc, F.array(*vals).alias("q"))
+
+
 def iqr_bounds(
     df: DataFrame, column: str, k: float = 1.5, exact: bool = True
 ) -> tuple[float, float]:
@@ -64,11 +142,15 @@ def iqr_bounds(
     the sketch-based ``percentile_approx`` the reference's Spark
     path uses (`:121-124`) — the right choice at 100 TB.
     """
-    fn = "percentile" if exact else "percentile_approx"
-    # One percentile buffer for both quantiles (array form), not two.
-    row = df.select(
-        F.expr(f"{fn}({column}, array(0.25, 0.75))").alias("q")
-    ).first()
+    if exact:
+        # distributed exact twin of the percentile aggregate — no
+        # single-reducer value-map merge (see exact_percentile_values)
+        row = exact_percentile_values(df, column, [0.25, 0.75]).first()
+    else:
+        row = df.select(
+            F.expr(f"percentile_approx({column}, array(0.25, 0.75))")
+            .alias("q")
+        ).first()
     q1, q3 = float(row["q"][0]), float(row["q"][1])
     iqr = q3 - q1
     return q1 - k * iqr, q3 + k * iqr
@@ -95,15 +177,27 @@ def mad_bounds(
     Two scalar aggregate jobs (median, then median absolute
     deviation) — same bounded collect boundary as IQR; use
     ``exact=False`` (sketch percentiles) at 100 TB."""
-    fn = "percentile" if exact else "percentile_approx"
-    med = float(
-        df.select(F.expr(f"{fn}({column}, 0.5)").alias("m")).first()["m"]
-    )
-    mad = float(
-        df.select(
-            F.expr(f"{fn}(abs({column} - {med!r}), 0.5)").alias("m")
-        ).first()["m"]
-    )
+    if exact:
+        # distributed exact twin — no single-reducer value-map merge
+        med = float(
+            exact_percentile_values(df, column, [0.5]).first()["q"][0]
+        )
+        dev = df.select(F.abs(F.col(column) - F.lit(med)).alias("__dev"))
+        mad = float(
+            exact_percentile_values(dev, "__dev", [0.5]).first()["q"][0]
+        )
+    else:
+        med = float(
+            df.select(
+                F.expr(f"percentile_approx({column}, 0.5)").alias("m")
+            ).first()["m"]
+        )
+        mad = float(
+            df.select(
+                F.expr(f"percentile_approx(abs({column} - {med!r}), 0.5)")
+                .alias("m")
+            ).first()["m"]
+        )
     if mad == 0.0:  # degenerate: >50% of values identical
         return med, med
     half_width = cutoff * mad / 0.6745
