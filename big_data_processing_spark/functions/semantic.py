@@ -298,7 +298,29 @@ def semantic_dedup_pairs(
     # frame; materialize it ONCE (the k-means lineage above it would
     # otherwise execute twice). Swept by release_leaked_checkpoints.
     m = m.localCheckpoint(eager=True)
-    a = m.select(
+    from big_data_processing_spark.partitioning import spread_even
+
+    # On a SMALL corpus the cluster key has few distinct values (k ∝
+    # n/target) and the frame is byte-small, so the keyed self-join
+    # AQE-coalesces the pair stage to ONE task (measured at sf0.1: a
+    # single 2.2 s-CPU task held the whole per-pair fold-dot
+    # verify). When the member frame fits a broadcast, broadcast one
+    # side and round-robin the other — parallelism then comes from
+    # the streamed side's keyless exchange, not the key count (guide
+    # §2.5/§3.1; the join is unchanged, values identical). At scale
+    # the dispatch keeps the keyed join: cluster count grows with
+    # the corpus, which spreads the equi-join on its own, and the
+    # member frame stops being broadcastable.
+    # a checkpointed frame reports NO Catalyst size estimate, so
+    # measure directly: count (cheap — m is materialized) × schema
+    # row width. One bounded driver scalar, like the k-means seeds.
+    n_m = m.count()
+    first = m.select(F.size("v").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    m_bytes = n_m * (8 * (dim + 4))
+    small = 0 < m_bytes <= 64 << 20
+    a_src = spread_even(m) if small else m
+    a = a_src.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
@@ -310,6 +332,8 @@ def semantic_dedup_pairs(
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    if small:
+        b = F.broadcast(b)
     denom = F.col("na") * F.col("nb")
     cos = F.when(
         denom > 0, _dot(F.col("va"), F.col("vb")) / denom

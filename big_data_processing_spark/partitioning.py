@@ -60,6 +60,37 @@ def spread_even(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
+def spread_arrow(df: DataFrame, *cols: str, target_bytes: int = 8 << 20
+                 ) -> DataFrame:
+    """Partition count for Arrow/Python kernel inputs sized by input
+    BYTES, not core count (r12, guide §2/§4): every ``mapInPandas``
+    task pays a fixed Python-worker/Arrow round-trip (measured at
+    sf0.1: ~10 ms warm, ~280 ms after worker churn — 32 tasks of a
+    2000-row GEMM spent 8.9 s cumulative runtime on 0.8 s CPU), and
+    AQE cannot size an opaque kernel stage. ``ceil(plan-estimated
+    bytes / target_bytes)`` clamped to [1, 10 × defaultParallelism]
+    keeps byte-small frames in a handful of tasks while a 100 TB
+    input still fans out to thousands; when Catalyst has no estimate
+    the default parallelism is kept. Kernel outputs here are
+    per-row/batch-local (each function rounds before any cut), so
+    partition count never changes results — the same invariance the
+    8-core driver bench already exercises."""
+    import math
+
+    n_default = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats unavailable for some plans
+        size = None
+    if size is None or size >= 1 << 62:  # unknown ≠ huge (see below)
+        n = n_default
+    else:
+        n = max(1, min(10 * n_default, math.ceil(size / target_bytes)))
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def warn_if_quadratic(
     df: DataFrame,
     what: str,
