@@ -1013,6 +1013,11 @@ def _prefix_filter_candidates(
         )
     )
     eps = F.lit(1e-6)
+    # NB: an explicit keyed repartition of `prefixes` (the
+    # _capped_candidates treatment) was tried and REVERTED: measured
+    # 4.5 -> 6.3 s on ngram_jaccard_prefix at sf0.1 — the prefix
+    # table is larger than the rare-gram table and the forced
+    # exchange cost more than the width it bought.
     cand = (
         prefixes.select(
             *block_cols,
@@ -1260,6 +1265,17 @@ def _capped_candidates(
         *block_cols, "g"
     )
     rare = exploded.join(rare_grams, on=[*block_cols, "g"])
+    # explicit keyed repartition on the join key: the candidate
+    # self-join's exchanges are byte-small, so AQE coalesced the
+    # CPU-dense pair generation to a handful of tasks (measured at
+    # sf0.1: 6.3 s CPU on 5 of 32 cores inside doc_cluster_build).
+    # An explicit numPartitions is exempt from AQE coalescing, and
+    # BOTH self-join sides reuse this one exchange (§2.4) — the join
+    # itself adds none.
+    rare = rare.repartition(
+        rare.sparkSession.sparkContext.defaultParallelism,
+        *block_cols, "g",
+    )
     return (
         rare.select(*block_cols, F.col(id_col).alias("id_a"), "g")
         .join(
