@@ -3964,16 +3964,30 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=bits,
         )
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        # EAGER: referenced by the fused per-pair join AND the
+        # n_twin aggregate below — a lazy pin loses the concurrent-
+        # subtree race and runs the twin pipeline twice
+        .localCheckpoint(eager=True)
     )
 
-    # precision: exact STRING-gram jaccard of every fast pair (the
-    # fast path verified on the xxhash64 gram basis; this re-checks
-    # on the cross-engine string basis the oracle uses). Intersection
-    # sizes come from the memoized gram BITMAPS when the vocabulary
-    # fits (popcount of AND ≡ |A∩B| over the same string gram sets —
-    # array_intersect on the ~1000-string arrays was this query's
-    # largest CPU stage); the array join remains the fallback.
+    # identical-gram-set keys: md5 the sorted gram list (128-bit —
+    # group identity without shuffling full gram arrays). Referenced
+    # by the expected-count aggregate AND the fused per-pair join;
+    # EAGER pin for the same race reason (tiny: one 32-hex key per
+    # doc).
+    gk = grams.select(
+        "doc_id",
+        F.md5(F.concat_ws("\x01", F.array_sort("grams"))).alias("k"),
+    ).localCheckpoint(eager=True)
+
+    # ONE fused pass over the fast pair set (r12, guide §2.4 /
+    # VERDICT r11 #7: the four audit aggregates previously re-read
+    # the pair set once each): every per-pair statistic — exact
+    # STRING-basis jaccard for the precision floor (bitmap popcount
+    # when the vocabulary fits, array_intersect fallback),
+    # identical-gram membership (gk key equality), and twin
+    # membership (left-join marker) — is attached in one join chain
+    # and collapsed by a single aggregate.
     if bits is not None:
         ba = bits.select(
             F.col("doc_id").alias("id_a"),
@@ -3997,44 +4011,46 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sj = inter.cast("double") / (
             F.col("__sa") + F.col("__sb") - inter
         )
-        prec = (
-            fast.join(ba, "id_a")
-            .join(bb, "id_b")
-            .agg(
-                F.count(F.lit(1)).alias("n_fast"),
-                F.min(F.round(sj, 6)).alias("min_sj"),
-            )
-        )
     else:
-        ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("__ga"))
-        gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("__gb"))
+        ba = grams.select(
+            F.col("doc_id").alias("id_a"), F.col("grams").alias("__ga")
+        )
+        bb = grams.select(
+            F.col("doc_id").alias("id_b"), F.col("grams").alias("__gb")
+        )
         inter = F.size(F.array_intersect("__ga", "__gb"))
         sj = inter.cast("double") / (
             F.size("__ga") + F.size("__gb") - inter
         )
-        prec = (
-            fast.join(ga, "id_a")
-            .join(gb, "id_b")
-            .agg(
-                F.count(F.lit(1)).alias("n_fast"),
-                F.min(F.round(sj, 6)).alias("min_sj"),
-            )
-        )
 
-    # identical-gram-set pairs: md5 the sorted gram list (128-bit —
-    # group identity without shuffling full gram arrays). The
-    # containment check is LINEAR, never a group self-join (r8
-    # verdict #4: a pathological all-duplicates corpus would make a
-    # k=k self-join c² per duplicate group): expected pair count per
-    # group is c*(c-1)/2 from a groupBy count, and found pairs are
-    # the fast pairs whose two endpoints share a group key. Every
-    # found pair IS an identical pair (same gram set), so found ⊆
-    # expected and COUNT equality ⟺ SET equality — no pair
-    # materialization needed.
-    gk = grams.select(
-        "doc_id",
-        F.md5(F.concat_ws("\x01", F.array_sort("grams"))).alias("k"),
+    fused = (
+        fast.select("id_a", "id_b")
+        .join(ba, "id_a")
+        .join(bb, "id_b")
+        .join(
+            gk.select(F.col("doc_id").alias("id_a"), F.col("k").alias("__ka")),
+            "id_a",
+        )
+        .join(
+            gk.select(F.col("doc_id").alias("id_b"), F.col("k").alias("__kb")),
+            "id_b",
+        )
+        .join(
+            twin.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fast"),
+            F.min(F.round(sj, 6)).alias("min_sj"),
+            F.sum(
+                F.when(F.col("__ka") == F.col("__kb"), 1).otherwise(0)
+            ).cast("long").alias("n_ident_found"),
+            F.count("__t").alias("n_common"),
+        )
     )
+
+    # expected identical-pair count: per-group c*(c-1)/2 from a
+    # groupBy count — LINEAR, never a group self-join (r8 verdict
+    # #4); found ⊆ expected, so count equality ⟺ set equality.
     n_ident = (
         gk.groupBy("k")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -4047,35 +4063,10 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_identical")
         )
     )
-    n_found = (
-        fast.join(
-            gk.select(F.col("doc_id").alias("id_a"), F.col("k").alias("__ka")),
-            "id_a",
-        )
-        .join(
-            gk.select(F.col("doc_id").alias("id_b"), F.col("k").alias("__kb")),
-            "id_b",
-        )
-        .filter(F.col("__ka") == F.col("__kb"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ident_found"))
-    )
-    ident = n_ident.crossJoin(n_found).select(
-        "n_identical",
-        (F.col("n_identical") - F.col("n_ident_found")).alias(
-            "n_ident_missing"
-        ),
-    )
-
-    common = (
-        fast.select("id_a", "id_b")
-        .join(twin, ["id_a", "id_b"])
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     n_twin = twin.agg(F.count(F.lit(1)).alias("n_twin"))
 
     return (
-        prec.crossJoin(ident)
-        .crossJoin(common)
+        fused.crossJoin(n_ident)
         .crossJoin(n_twin)
         .select(
             F.col("n_twin").cast("long").alias("n_twin"),
@@ -4083,9 +4074,11 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("min_sj").isNull() | (F.col("min_sj") >= F.lit(0.6))
             ).alias("precision_ok"),
-            (F.coalesce(F.col("n_ident_missing"), F.lit(0)) == 0).alias(
-                "identical_ok"
-            ),
+            (
+                F.col("n_identical")
+                - F.coalesce(F.col("n_ident_found"), F.lit(0))
+                == 0
+            ).alias("identical_ok"),
             (
                 F.col("n_common").cast("double")
                 >= F.lit(MINHASH_RECALL_FLOOR) * F.col("n_twin")
