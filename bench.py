@@ -275,6 +275,41 @@ def main() -> None:
     shown = {k: round(v, 3) for k, v in timings.items()}
     budget = 1400
 
+    # Names printed in the previous round's committed one-line JSON
+    # (BENCH_r11.json). The cheapest-first eviction below made the
+    # printed set depend on the current round's timings, so every
+    # optimization round scrambled the driver's round-over-round
+    # window: 10 now-fast queries fell out of the r11 line and PERF
+    # reported them as dropped_from_bench (r11 VERDICT #2 — a
+    # reporting artifact, not removal; the sidecar always carries
+    # every entry). Pin the previous line's names: they are evicted
+    # only after every non-pinned name is gone, so the comparison
+    # window stays a superset of last round's as long as the budget
+    # allows. This is a measurement-reporting fix only — timings,
+    # sidecar, and the one-line contract are unchanged.
+    _pinned_line = {
+        "ann_index_persistence_parity", "ann_recall_audit",
+        "ann_recall_floor_audit", "approx_distinct_error_audit",
+        "bigram_logprob", "copurchase_triangles", "doc_cluster_build",
+        "doc_winnow_sketch_checked", "dup_span_coverage",
+        "dup_span_removal", "embedding_near_dup_ivf",
+        "hybrid_related_docs_rrf", "incremental_rollup_parity",
+        "iqr_outlier_filter", "kmeans_clusters_twolevel",
+        "mad_outlier_filter", "md5_minhash_build",
+        "minhash_fastpath_audit", "minhash_near_dup",
+        "minhash_near_dup_checked", "nation_pagerank",
+        "nation_revenue_share", "ngram_jaccard_capped",
+        "ngram_jaccard_pairs", "ngram_jaccard_prefix",
+        "pq_recall_floor_audit", "pq_train_build", "price_quantiles",
+        "price_quantiles_by_flag", "quality_metrics", "semantic_dedup",
+        "semantic_dedup_twolevel", "simhash_fastpath_audit",
+        "simhash_near_dup_checked", "similarity_join_auto",
+        "stateful_sessions_parity", "streaming_dedup_parity",
+        "streaming_join_parity", "streaming_late_drop_parity",
+        "streaming_near_dup_parity", "streaming_session_window_parity",
+        "winnow_share_pairs",
+    }
+
     def line(q: dict) -> str:
         payload = {"metric": "total_query_wall_time", "value": total,
                    "unit": "sec", "queries": q, "sf": sf,
@@ -287,9 +322,12 @@ def main() -> None:
             payload["detail"] = "BENCH_DETAIL.json"
         return json.dumps(payload, separators=(",", ":"))
 
-    # Drop the cheapest queries first until the line fits: the slow
-    # ones are the ones worth reading in the headline.
-    for name in sorted(shown, key=shown.get):
+    # Drop the cheapest NON-PINNED queries first until the line
+    # fits; pinned (previous-round) names go last, cheapest first,
+    # only if the budget still overflows.
+    for name in sorted(
+        shown, key=lambda n: (n in _pinned_line, shown[n])
+    ):
         if len(line(shown)) <= budget:
             break
         del shown[name]
