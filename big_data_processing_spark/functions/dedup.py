@@ -223,22 +223,24 @@ def minhash_near_duplicates(
     99.77% — ``minhash_fastpath_audit``). On a corpus whose dup
     rate is constant in corpus size, this path is linear in input
     plus output."""
+    from big_data_processing_spark.partitioning import pin_now
+
     rows = num_perm // bands
     if grams is not None:
         # memoized string-gram basis: hash per row, never rescan.
-        # EAGER pin: projection collapse would otherwise inline this
+        # Pinned NOW: projection collapse would otherwise inline this
         # array into each of the num_perm signature transforms below
         # — xxhash64 + array_distinct re-evaluated 32× per row
         # (measured: 21.7 s + 16.7 s cumulative CPU for the two band
         # sides at sf0.1; pinned, the hash runs once per gram)
-        shingled = grams.select(
+        shingled = pin_now(grams.select(
             F.col(id_col),
             F.array_distinct(
                 F.transform(F.col("grams"), lambda g: F.xxhash64(g))
             ).alias("grams"),
-        ).localCheckpoint(eager=True)
+        ))
     else:
-        shingled = (
+        shingled = pin_now(
             _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
             .select(
                 F.col(id_col), normalize_text(F.col(text_col)).alias("nrm")
@@ -250,10 +252,9 @@ def minhash_near_duplicates(
                 ),
             )
             # referenced by the signature build, the vocab statistic
-            # and the verify joins — EAGER: the verify-side broadcast
-            # jobs launch concurrently, so a lazy pin re-runs the
-            # pipeline once per reference
-            .localCheckpoint(eager=True)
+            # and the verify joins — materialized NOW (pin_now): the
+            # verify-side broadcast jobs launch concurrently, so a
+            # purely lazy pin re-runs the pipeline once per reference
         )
 
     # per-row signatures: min over the distinct gram array equals
@@ -536,7 +537,9 @@ def ngram_jaccard_pairs(
             df, "ngram_jaccard_pairs(max_df=None)",
             allow_quadratic=allow_quadratic,
         )
-    base = (
+    from big_data_processing_spark.partitioning import pin_now
+
+    base = pin_now(
         _spread(
             df.select(
                 F.col(id_col), *[F.col(c) for c in block_cols],
@@ -555,13 +558,12 @@ def ngram_jaccard_pairs(
             char_ngram_hashes_of_norm(F.col("nrm"), n).alias("grams"),
         )
         # referenced 4× below (sizes both sides, arrays both sides).
-        # EAGER: the verify joins broadcast both array sides, and
-        # those BroadcastExchange jobs launch CONCURRENTLY — with a
-        # lazy checkpoint each one recomputes the normalize+shingle
-        # pipeline before any blocks exist (measured at sf0.1: the
-        # gram subtree executed 3× in one build, two of them as
-        # simultaneous broadcast jobs).
-        .localCheckpoint(eager=True)
+        # Materialized NOW (pin_now): the verify joins broadcast both
+        # array sides, and those BroadcastExchange jobs launch
+        # CONCURRENTLY — with a purely lazy checkpoint each one
+        # recomputes the normalize+shingle pipeline before any blocks
+        # exist (measured at sf0.1: the gram subtree executed 3× in
+        # one build, two of them as simultaneous broadcast jobs).
     )
     # Inverted-index formulation: explode grams, self-join on
     # (block, gram), COUNT shared grams per pair with map-side
@@ -703,7 +705,7 @@ def _bitmap_doc_frame(
         F.bit_or("__b").alias("__word"),
         F.count(F.lit(1)).alias("__c"),
     )
-    return (
+    out = (
         perword.groupBy(id_col)
         .agg(
             F.sum("__c").cast("int").alias("__sz"),
@@ -723,12 +725,16 @@ def _bitmap_doc_frame(
                 ),
             ).alias("__bits"),
         )
-        # referenced by BOTH sides of the verify join (two broadcast
-        # jobs launched concurrently): EAGER — a lazy pin loses the
-        # race and both sides rebuild every bitmap (r11 ADVICE; the
-        # frame is small, at most n_words longs + a count per doc)
-        .localCheckpoint(eager=True)
     )
+    # referenced by BOTH sides of the verify join (two broadcast
+    # jobs launched concurrently): a purely lazy pin loses that
+    # race and both sides rebuild every bitmap (r11 ADVICE), and
+    # eager=True materializes through Dataset.checkpoint's internal
+    # rdd.count() — measured 8.0 s stage CPU where the normal
+    # execution of the same projection costs 1.3 s (see pin_now)
+    from big_data_processing_spark.partitioning import pin_now
+
+    return pin_now(out)
 
 
 def _verify_jaccard_candidates_bitmap(
@@ -1270,17 +1276,17 @@ def _capped_candidates(
         *block_cols, "g"
     )
     rare = exploded.join(rare_grams, on=[*block_cols, "g"])
-    # explicit keyed repartition on the join key: the candidate
-    # self-join's exchanges are byte-small, so AQE coalesced the
-    # CPU-dense pair generation to a handful of tasks (measured at
-    # sf0.1: 6.3 s CPU on 5 of 32 cores inside doc_cluster_build).
-    # An explicit numPartitions is exempt from AQE coalescing, and
-    # BOTH self-join sides reuse this one exchange (§2.4) — the join
-    # itself adds none.
-    rare = rare.repartition(
-        rare.sparkSession.sparkContext.defaultParallelism,
-        *block_cols, "g",
-    )
+    # NB: an explicit keyed repartition of `rare` on the join key
+    # (to defeat AQE's byte-based coalescing of the CPU-dense pair
+    # generation — it runs on ~5 of 32 tasks at sf0.1) was tried and
+    # REVERTED: the repartition exchanges the FULL exploded gram
+    # table (71 MB shuffle write at sf0.1 vs the 5 MB the planner's
+    # own aggregated exchange carries) and its subtree was NOT
+    # reused across the self-join sides — doc_cluster_build went
+    # 22.8 s -> 66.9 s standalone (driver-style full-suite bench:
+    # 14.2 -> 47.9 s). The ~1.5 s-wall coalesced stage is the
+    # cheaper evil at this scale; at cluster scale the join's own
+    # exchanges are byte-large enough that AQE sizes them correctly.
     return (
         rare.select(*block_cols, F.col(id_col).alias("id_a"), "g")
         .join(

@@ -193,7 +193,9 @@ def kmeans_assign_twolevel(
     # Member frame feeds seed selection, both scoring passes and the
     # Lloyd update — materialize the coarse lineage ONCE (swept by
     # release_leaked_checkpoints, same policy as semantic_dedup_pairs).
-    m = coarse.join(e, on=id_col).localCheckpoint(eager=True)
+    from big_data_processing_spark.partitioning import pin_now
+
+    m = pin_now(coarse.join(e, on=id_col))
 
     # Per-cell sub-k and deterministic seeds: the k2 lowest ids.
     k2 = (
@@ -297,8 +299,9 @@ def semantic_dedup_pairs(
     # Both sides of the within-cluster self-join read the member
     # frame; materialize it ONCE (the k-means lineage above it would
     # otherwise execute twice). Swept by release_leaked_checkpoints.
-    m = m.localCheckpoint(eager=True)
-    from big_data_processing_spark.partitioning import spread_even
+    from big_data_processing_spark.partitioning import pin_now, spread_even
+
+    m = pin_now(m)
 
     # On a SMALL corpus the cluster key has few distinct values (k ∝
     # n/target) and the frame is byte-small, so the keyed self-join

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from big_data_processing_spark.operators.windows import topk_per_group
 from big_data_processing_spark.partitioning import (
+    pin_now,
     spread,
     spread_arrow,
     spread_even,
@@ -599,11 +600,11 @@ def cosine_near_dup_pairs_lsh(
             out["bucket"] = buckets.reshape(-1).astype(np.int32)
             yield pd.DataFrame(out)
 
-    sig = spread_arrow(
+    sig = pin_now(spread_arrow(
         df.select(*blocks, F.col(id_col), F.col(vec_col)), id_col
     ).mapInPandas(
         kernel, schema=f"{block_schema}{id_col} long, table int, bucket int"
-    ).localCheckpoint(eager=True)  # both self-join sides read it — one
+    ))  # both self-join sides read it — one
     # kernel execution, not two concurrent ones (r12, guide §7.2)
     on = [*blocks, "table", "bucket"]
     cand = (
@@ -699,12 +700,12 @@ def cosine_near_dup_pairs_ivf(
             out["cell"] = cells.reshape(-1).astype("int32")
             yield pd.DataFrame(out)
 
-    sig = spread_arrow(
+    sig = pin_now(spread_arrow(
         df.select(*blocks, F.col(id_col), F.col(vec_col)), id_col
     ).mapInPandas(
         assign_kernel,
         schema=f"{block_schema}{id_col} long, cell int",
-    ).localCheckpoint(eager=True)  # both self-join sides read it — one
+    ))  # both self-join sides read it — one
     # kernel execution, not two concurrent ones (r12, guide §7.2)
     on = [*blocks, "cell"]
     cand = (

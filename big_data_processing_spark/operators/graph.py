@@ -22,11 +22,13 @@ Scale notes
   label frame per round — measured as a timed pass running slower
   than its own warmup at sf0.1 (r3 bench).
 - Pointer jumping makes convergence ~log(diameter), so few rounds
-  run at all; convergence is detected with an ``observe()`` metric
-  collected DURING each round's own checkpoint job (zero extra
-  actions — the old separate join+count convergence job cost ~2
-  driver round-trips per check and only ran every 2nd round, so it
-  also overshot convergence by up to one full round).
+  run at all; convergence is detected by the round's ONE
+  materializing action itself (a filter-count over the lazily
+  checkpointed label frame persists every block AND counts moved
+  labels — zero extra actions; the old separate join+count
+  convergence job cost ~2 driver round-trips per check and only ran
+  every 2nd round, so it also overshot convergence by up to one
+  full round).
 """
 
 from __future__ import annotations
@@ -115,8 +117,10 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+    from big_data_processing_spark.partitioning import pin_now
+
     # materialize the edge list once — every round re-reads it
-    sym = sym.localCheckpoint(eager=True)
+    sym = pin_now(sym)
     verts = sym.select(F.col("src").alias("id")).distinct()
     # NOTE: no spread() here, by measurement — label frames are
     # (id, label) pairs whose compute tracks their byte size, so
@@ -124,11 +128,7 @@ def connected_components(
     # graphs (narrow, low scheduling overhead) AND for huge ones
     # (stays wide). Forcing defaultParallelism-wide rounds made the
     # sf0.1 run 5× slower on scheduling overhead alone.
-    labels = verts.withColumn("comp", F.col("id")).localCheckpoint(
-        eager=True
-    )
-
-    from pyspark.sql import Observation
+    labels = pin_now(verts.withColumn("comp", F.col("id")))
 
     for _round_no in range(1, max_iter + 1):
         nb = (
@@ -162,24 +162,29 @@ def connected_components(
                 F.col("comp"), F.coalesce(F.col("cc"), F.col("comp"))
             ).alias("comp"),
         )
-        # convergence metric rides the round's own materialization:
+        # Convergence check rides the round's own materialization:
         # the round is a no-op (fixpoint reached) iff no label moved.
-        # CollectMetrics is per-task accumulation — no extra job, no
-        # join+count action, and the check now runs EVERY round.
-        obs = Observation()
-        new_labels = new_labels.observe(
-            obs,
-            F.sum((F.col("comp") != F.col("__old")).cast("long")).alias(
-                "changed"
-            ),
-        ).select("id", "comp").localCheckpoint(eager=True)
-        changed = obs.get["changed"] or 0
+        # The (id, __old, comp) frame is checkpointed lazily and the
+        # filter-count below is the ONE action per round — it both
+        # persists every checkpoint block (count scans all
+        # partitions) and measures convergence, so the check costs
+        # no extra job and runs EVERY round. (An observe() metric on
+        # an eager checkpoint did the same job before pin_now: with
+        # a lazy checkpoint the CollectMetrics node belongs to the
+        # ORIGINAL query execution, which the count over the
+        # checkpointed RDD never completes — the observation never
+        # fires and the loop mis-terminated, caught by the sf0.001
+        # oracle gate + test_connected_components_chain_and_island.)
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(
+            F.col("comp") != F.col("__old")
+        ).count()
         release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
     release_checkpoint(sym)
-    return labels
+    return labels.select("id", "comp")
 
 
 def dedup_clusters(
@@ -238,11 +243,13 @@ def pagerank(
                 .alias("__p"))
     )
     # The edge list is read once per iteration; materialize it ONCE
-    # (eager checkpoint, truncating the — possibly expensive — edge-
+    # (pinned checkpoint, truncating the — possibly expensive — edge-
     # build lineage) so iterations don't re-run the upstream joins.
     # Blocks are swept by the harness's release_leaked_checkpoints
     # after the consuming query completes.
-    norm = norm.localCheckpoint(eager=True)
+    from big_data_processing_spark.partitioning import pin_now
+
+    norm = pin_now(norm)
     teleport = (1.0 - damping) / n_nodes
     pr = nodes.select(F.col(node), F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(iters):

@@ -139,7 +139,9 @@ def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the same rows twice
         pin_result=False,
     )
-    clusters = dedup_clusters(pairs).localCheckpoint(eager=True)
+    from big_data_processing_spark.partitioning import pin_now
+
+    clusters = pin_now(dedup_clusters(pairs))
     # Drop (dict-only) entries of stopped applications — their block
     # storage died with the context. Same-app entries are KEPT, one
     # per (dir, params): releasing a live frame an earlier caller may
@@ -190,12 +192,10 @@ def md5_minhash_frames(
     if gkey in _CACHE and skey in _CACHE:
         return _CACHE[gkey], _CACHE[skey]
     docs = load_table(spark, sf_dir, "documents")
-    grams = md5_gram_sets(
-        docs, "text", "doc_id", MH_SHINGLE_N
-    ).localCheckpoint(eager=True)
-    sig = md5_minhash_signatures(
-        grams, "doc_id", MH_NUM_PERM
-    ).localCheckpoint(eager=True)
+    from big_data_processing_spark.partitioning import pin_now
+
+    grams = pin_now(md5_gram_sets(docs, "text", "doc_id", MH_SHINGLE_N))
+    sig = pin_now(md5_minhash_signatures(grams, "doc_id", MH_NUM_PERM))
     for old_key in list(_CACHE):
         if old_key[0] != base[0]:
             del _CACHE[old_key]

@@ -2031,9 +2031,9 @@ def q_jsonl_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below is exactly that); materializing severs the file-source
     # lineage, which is the documented workaround — and the slice is
     # 500 rows
-    parsed = read_jsonl_quarantine(
-        spark, f"{work}/raw", schema
-    ).localCheckpoint(eager=True)
+    from big_data_processing_spark.partitioning import pin_now
+
+    parsed = pin_now(read_jsonl_quarantine(spark, f"{work}/raw", schema))
     good = (
         parsed.filter(F.col("_corrupt").isNull())
         .groupBy("lang")
@@ -3964,21 +3964,23 @@ def q_minhash_fastpath_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=bits,
         )
         .select("id_a", "id_b")
-        # EAGER: referenced by the fused per-pair join AND the
-        # n_twin aggregate below — a lazy pin loses the concurrent-
-        # subtree race and runs the twin pipeline twice
-        .localCheckpoint(eager=True)
     )
+    # pinned NOW: referenced by the fused per-pair join AND the
+    # n_twin aggregate below — a purely lazy pin loses the
+    # concurrent-subtree race and runs the twin pipeline twice
+    from big_data_processing_spark.partitioning import pin_now
+
+    twin = pin_now(twin)
 
     # identical-gram-set keys: md5 the sorted gram list (128-bit —
     # group identity without shuffling full gram arrays). Referenced
     # by the expected-count aggregate AND the fused per-pair join;
-    # EAGER pin for the same race reason (tiny: one 32-hex key per
+    # pinned NOW for the same race reason (tiny: one 32-hex key per
     # doc).
-    gk = grams.select(
+    gk = pin_now(grams.select(
         "doc_id",
         F.md5(F.concat_ws("\x01", F.array_sort("grams"))).alias("k"),
-    ).localCheckpoint(eager=True)
+    ))
 
     # ONE fused pass over the fast pair set (r12, guide §2.4 /
     # VERDICT r11 #7: the four audit aggregates previously re-read
